@@ -1,0 +1,113 @@
+"""Static-shape slotted KV cache.
+
+The reference mutates HF ``DynamicCache`` lists in place with
+dynamically-shaped ``cat``/``gather`` rewrites (llama_model.py:189-190,
+:597-598) — every cache-length change would recompile under XLA.  Here the
+cache is a fixed-capacity buffer per layer plus explicit length bookkeeping;
+compression becomes a functional gather (see scope_tpu.compression) and all
+shapes are jit-stable.
+
+Layout per layer: slots [0, length) are valid and ordered the same way the
+reference's physical cache would be ([compacted prefill | kept decode |
+recent window]).  ``pvalid`` tracks a per-head valid count inside the
+prefill segment — it only diverges from the uniform length for the headwise
+method (per-head budgets); all other methods keep it equal to the prefill
+kept-count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@flax.struct.dataclass
+class KVCache:
+    k: jnp.ndarray                      # [L, B, H, S_max, D]
+    v: jnp.ndarray                      # [L, B, H, S_max, D]
+    length: jnp.ndarray                 # [L, B] int32, physical filled length
+    # Per-head valid count within the prefill segment [0, prefill_gap).
+    pvalid: jnp.ndarray                 # [L, B, H] int32
+    # Static size of the reserved prefill segment.  0 for contiguous-layout
+    # methods (everything), == headwise_max_budget cap for headwise.
+    prefill_gap: int = flax.struct.field(pytree_node=False, default=0)
+    # Recorded true prompt length (ALLKV/Quest gates; kv_utils.py:1047,1250).
+    prompt_len: Optional[jnp.ndarray] = None   # [B] int32
+    # Quest page metadata over the prefill region, precomputed once after
+    # prefill instead of per-step (kv_utils.py:1296-1331 recomputes each
+    # step; the math is identical - see compression/quest.py).
+    page_min: Optional[jnp.ndarray] = None     # [L, B, H, NP, D]
+    page_max: Optional[jnp.ndarray] = None     # [L, B, H, NP, D]
+
+    @property
+    def num_layers(self):
+        return self.k.shape[0]
+
+    @property
+    def capacity(self):
+        return self.k.shape[3]
+
+
+def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
+               head_dim: int, dtype, prefill_gap: int = 0,
+               with_pages: bool = False, num_pages: int = 0) -> KVCache:
+    shape = (num_layers, batch, num_heads, capacity, head_dim)
+    zeros = jnp.zeros(shape, dtype)
+    return KVCache(
+        k=zeros,
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((num_layers, batch), jnp.int32),
+        pvalid=jnp.zeros((num_layers, batch, num_heads), jnp.int32),
+        prefill_gap=prefill_gap,
+        prompt_len=jnp.zeros((batch,), jnp.int32),
+        page_min=(jnp.zeros((num_layers, batch, num_heads, num_pages,
+                             head_dim), dtype) if with_pages else None),
+        page_max=(jnp.zeros((num_layers, batch, num_heads, num_pages,
+                             head_dim), dtype) if with_pages else None),
+    )
+
+
+def append_token(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                 new_k: jnp.ndarray, new_v: jnp.ndarray,
+                 length: jnp.ndarray):
+    """Write one token's K/V at per-row offset ``length``.
+
+    cache_k/v: [B, H, S_max, D]; new_k/v: [B, H, 1, D]; length: [B] int32.
+    Returns (cache_k', cache_v', length + 1).
+    """
+    def upd(c, n, i):
+        return lax.dynamic_update_slice(c, n, (0, i, 0))
+    cache_k = jax.vmap(upd)(cache_k, new_k, length)
+    cache_v = jax.vmap(upd)(cache_v, new_v, length)
+    return cache_k, cache_v, length + 1
+
+
+def slot_mask(length: jnp.ndarray, pvalid: jnp.ndarray, prefill_gap: int,
+              capacity: int) -> jnp.ndarray:
+    """Validity mask per slot, per head.  length [B], pvalid [B, H] ->
+    [B, H, S_max] bool."""
+    idx = jnp.arange(capacity)
+    if prefill_gap == 0:
+        return (idx[None, :] < length[:, None])[:, None, :] | jnp.zeros(
+            pvalid.shape + (capacity,), bool)
+    in_prefill = idx[None, None, :] < pvalid[:, :, None]
+    in_decode = ((idx[None, None, :] >= prefill_gap)
+                 & (idx[None, :] < length[:, None])[:, None, :])
+    return in_prefill | in_decode
+
+
+def gather_rewrite(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                   src_map: jnp.ndarray):
+    """Rewrite the cache as dest[d] = src[src_map[d]] in one gather.
+
+    cache_k/v: [B, H, S, D]; src_map: [B, H, S] int32 (or broadcastable).
+    This is the functional equivalent of the reference's
+    gather-compact-then-cat sequence (e.g. kv_utils.py:659-666).
+    """
+    idx = src_map[..., None]
+    return (jnp.take_along_axis(cache_k, idx, axis=2),
+            jnp.take_along_axis(cache_v, idx, axis=2))

@@ -1,0 +1,204 @@
+"""Typed, frozen configuration for the TPU-native SCOPE engine.
+
+The reference (kengchiawu/SCOPE) spreads configuration over argparse CLI flags,
+runtime attribute injection onto each HF ``self_attn.config`` object
+(run_longgenbench.py:201-226) and ``hasattr``-guarded defaults in the
+``init_*`` factories (kv_utils.py:1485-1665).  Here everything is a frozen
+dataclass threaded explicitly; derived quantities (delta, buffer capacities)
+are computed once in :class:`EngineConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+PREFILL_METHODS = (
+    "fullkv",       # no compression, no decode scheduling state at all
+    "allkv",        # no prefill compression; records prompt length (kv_utils.py:1038-1053)
+    "h2o",          # cumulative-attention heavy hitters (kv_utils.py:633-667)
+    "snapkv",       # observation-window pooled scoring (kv_utils.py:430-465)
+    "pyramidkv",    # layer-decayed budget, PyramidInfer-mode scoring (kv_utils.py:141-225)
+    "streamingllm", # positional sink + recent (kv_utils.py:850-869)
+    "quest",        # full prefill kept; per-step page selection (kv_utils.py:1231-1483)
+    "headwise",     # per-head coverage budget (headwise_attention.py, completed here)
+)
+
+DECODE_METRICS = (
+    "none",         # no decode-phase compression
+    "fixed",        # SCOPE "slide": steady-state cache P+W (kv_utils.py:701-730)
+    "linear",       # SCOPE "adaptive": W(t) grows 1 per delta steps (kv_utils.py:731-761)
+    "jump",         # SCOPE "discontinuous": burst compression waves (kv_utils.py:762-801)
+    "h2o",          # H2O-only: global top-k during decode (kv_utils.py:679-700)
+    "slm",          # StreamingLLM-only: positional during decode (kv_utils.py:881-902)
+    "pyramidinfer", # PyramidKV-only: pyramid budget over full cache (kv_utils.py:237-280)
+)
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Architecture hyper-parameters of a dense decoder-only LLM."""
+
+    name: str
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    max_position_embeddings: int = 8192
+    tie_word_embeddings: bool = False
+    # Llama-3.1-style rope scaling: (factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings); None = plain RoPE.
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None
+    # Mistral-style sliding window attention; None = global attention.
+    sliding_window: Optional[int] = None
+    arch: str = "llama"
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    def replace(self, **kw) -> "ModelSpec":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class CompressionConfig:
+    """Prefill policy x decode scheduler, mirroring the reference knob set.
+
+    Reference knob sources: ``window_sizes``/``max_capacity_prompts``/
+    ``kernel_sizes``/``pooling`` injection at run_longgenbench.py:209-226,
+    per-method window sizing at run_longgenbench.py:188-194, quest knobs at
+    run_longgenbench.py:196-197.
+    """
+
+    method: str = "allkv"
+    decoding_metric: str = "none"
+    # P: prefill token budget (CLI --max_capacity_prompts).
+    max_capacity_prompt: int = 2048
+    # w: protected observation/recent window during prefill compression.
+    # Reference: 8 for snap/pyramid/h2o, P//2 for streamingllm.
+    window_size: int = 8
+    kernel_size: int = 7
+    pooling: str = "maxpool"
+    # PyramidKV pyramid sharpness (kv_utils.py:150).
+    beta: int = 20
+    # W: decode-phase window budget (CLI --decoding_window_size).
+    decoding_window_size: int = 512
+    # r: protected recent window during decode compression.
+    decoding_recent_size: int = 256
+    # linear/jump growth period; runner derives it as
+    # (output_max_len - r) // (W - r)  (run_longgenbench.py:218).
+    delta: int = 15
+    # Quest page (chunk) size and skipped dense layers (kv_utils.py:1277).
+    chunk_size: int = 16
+    quest_skip_layers: int = 2
+    # Headwise coverage budgeting (headwise_attention.py:17-101).
+    headwise_max_budget: int = 2048
+    headwise_min_budget: int = 128
+    headwise_gamma: float = 0.95
+    # True reproduces the reference's GQA-expanded per-query-head eviction
+    # (repeat_kv before cache update, llama_model.py:159-160); False evicts
+    # per KV head (memory-correct mode, cache is num_kv_heads wide).
+    evict_per_qhead: bool = True
+
+    def __post_init__(self):
+        if self.method not in PREFILL_METHODS:
+            raise ValueError(f"unknown method {self.method!r}")
+        if self.decoding_metric not in DECODE_METRICS:
+            raise ValueError(f"unknown decoding metric {self.decoding_metric!r}")
+        if self.method not in ("allkv", "fullkv", "quest"):
+            if not self.max_capacity_prompt - self.window_size > 0:
+                raise ValueError("max_capacity_prompt must exceed window_size")
+        if self.decoding_metric != "none":
+            if not self.decoding_window_size - self.decoding_recent_size > 0:
+                raise ValueError("decoding_window_size must exceed decoding_recent_size")
+
+    def replace(self, **kw) -> "CompressionConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def derive_delta(output_max_len: int, decoding_window_size: int,
+                 decoding_recent_size: int) -> int:
+    """delta = (output_max_len - r) // (W - r); run_longgenbench.py:218."""
+    return max(1, (output_max_len - decoding_recent_size)
+               // (decoding_window_size - decoding_recent_size))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static engine-level shapes derived from model + compression config.
+
+    Everything under jit must have static shapes; these capacities bound the
+    dynamic lengths the reference lets tensors take.
+    """
+
+    max_prompt_len: int = 8192        # S_cap: prompt bucket ceiling (padded)
+    max_new_tokens: int = 4096
+    prompt_pad_multiple: int = 128
+    dtype: str = "bfloat16"
+    # Upcast attention logits/softmax to f32 (reference: kv_utils.py:656).
+    softmax_f32: bool = True
+
+    def cache_capacity(self, comp: CompressionConfig) -> int:
+        """Physical slot capacity S_max of the per-layer KV buffer.
+
+        fixed: steady-state P+W, +1 for the append-before-compress step.
+        linear/jump: W grows to ~r + max_new/delta; jump additionally
+        overshoots by up to delta tokens between waves (see SURVEY §2.2).
+        """
+        P = comp.max_capacity_prompt
+        W = comp.decoding_window_size
+        r = comp.decoding_recent_size
+        if comp.method in ("fullkv",) or (
+            comp.method in ("allkv", "quest") and comp.decoding_metric == "none"
+        ):
+            return _round_up(self.max_prompt_len + self.max_new_tokens, 128)
+        if comp.method in ("allkv", "quest"):
+            # Full prefill is kept; only the decode region is bounded.
+            base = self.max_prompt_len
+        else:
+            base = min(P, self.max_prompt_len)
+        if comp.decoding_metric == "none":
+            return _round_up(base + self.max_new_tokens, 128)
+        w_final = self.decode_budget_cap(comp) + r
+        slack = comp.delta + 2  # jump-wave overshoot + append slot
+        return _round_up(base + w_final + slack, 128)
+
+    def decode_budget_cap(self, comp: CompressionConfig) -> int:
+        """Static cap on the data-dependent decode keep-count W(t) - r."""
+        W = comp.decoding_window_size
+        r = comp.decoding_recent_size
+        if comp.decoding_metric in ("fixed", "h2o", "slm", "pyramidinfer"):
+            return W - r
+        # linear/jump: W(t) = r + steps//delta, steps <= max_new_tokens.
+        return max(W - r, self.max_new_tokens // max(comp.delta, 1) + 1)
+
+    def prompt_buckets(self) -> Tuple[int, ...]:
+        """Padded prompt lengths we are willing to compile for."""
+        buckets = []
+        b = self.prompt_pad_multiple
+        while b < self.max_prompt_len:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self.max_prompt_len)
+        return tuple(buckets)
+
+    def bucket_for(self, length: int) -> int:
+        for b in self.prompt_buckets():
+            if length <= b:
+                return b
+        raise ValueError(f"prompt length {length} exceeds max_prompt_len "
+                         f"{self.max_prompt_len}")
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,125 @@
+"""Greedy/ sampled generation loops over the compression-aware model.
+
+Two paths, mirroring how the reference is *used* vs how it should perform:
+- :func:`generate_scan` — the whole decode loop under one jit via
+  ``lax.scan`` (throughput path; nothing touches the host).
+- :class:`StreamingGenerator` — a host loop around jitted step functions
+  that records per-token wall-clock timestamps, reproducing the reference's
+  ``TimingStreamer`` TTFT/TPOT measurement (run_longgenbench.py:67-78,
+  :244-249).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from scope_tpu.compression.schedulers import SchedState
+from scope_tpu.config import CompressionConfig, EngineConfig, ModelSpec
+from scope_tpu.models import llama
+
+
+class GenerateResult(NamedTuple):
+    tokens: np.ndarray          # [B, max_new] generated ids (eos-padded)
+    gen_lengths: np.ndarray     # [B] tokens up to and including eos
+    ttft_s: float
+    tpot_s: List[float]
+
+
+def _sample(logits: jnp.ndarray, greedy: bool, key, temperature: float):
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, logits / temperature).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 6, 8))
+def generate_scan(spec: ModelSpec, comp: CompressionConfig,
+                  ecfg: EngineConfig, params, tokens: jnp.ndarray,
+                  true_len: jnp.ndarray, max_new: int,
+                  eos_id: int, eos_is_array: bool = False,
+                  eos_ids: Optional[jnp.ndarray] = None):
+    """Fully-jitted greedy generation.  tokens: [B, S_pad] right-padded.
+
+    Returns (generated [B, max_new] int32, done_step [B] int32 index of the
+    first eos or max_new)."""
+    logits, cache, state = llama.prefill(spec, comp, ecfg, params, tokens,
+                                         true_len)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def is_eos(t):
+        if eos_is_array:
+            return jnp.isin(t, eos_ids)
+        return t == eos_id
+
+    done0 = is_eos(tok0)
+
+    def step(carry, s):
+        tok, cache, state, done = carry
+        vpos = true_len + s
+        logits, cache, state = llama.decode_step(spec, comp, ecfg, params,
+                                                 tok, vpos, cache, state)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+        done_next = done | is_eos(nxt)
+        return (nxt, cache, state, done_next), tok
+
+    (last, _, _, _), toks = lax.scan(
+        step, (tok0, cache, state, done0), jnp.arange(max_new - 1))
+    generated = jnp.concatenate(
+        [jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)  # [B, max_new]
+    eos_mask = is_eos(generated)
+    any_eos = jnp.any(eos_mask, axis=1)
+    first_eos = jnp.argmax(eos_mask, axis=1)
+    done_step = jnp.where(any_eos, first_eos + 1, max_new)
+    return generated, done_step
+
+
+class StreamingGenerator:
+    """Host-side decode loop with per-token timing (reference TTFT/TPOT)."""
+
+    def __init__(self, spec: ModelSpec, comp: CompressionConfig,
+                 ecfg: EngineConfig, params, eos_ids: Tuple[int, ...]):
+        self.spec, self.comp, self.ecfg = spec, comp, ecfg
+        self.params = params
+        self.eos_ids = set(int(e) for e in eos_ids)
+        self._prefill = jax.jit(partial(llama.prefill, spec, comp, ecfg))
+        self._decode = jax.jit(partial(llama.decode_step, spec, comp, ecfg))
+
+    def generate(self, tokens: np.ndarray, true_len: np.ndarray,
+                 max_new: int) -> GenerateResult:
+        assert tokens.shape[0] == 1, "streaming path is per-request"
+        t0 = time.perf_counter()
+        tokens_j = jnp.asarray(tokens, jnp.int32)
+        tl = jnp.asarray(true_len, jnp.int32)
+        logits, cache, state = self._prefill(self.params, tokens_j, tl)
+        tok = int(jax.device_get(jnp.argmax(logits, axis=-1))[0])
+        timestamps = [time.perf_counter()]
+        out = [tok]
+        done = tok in self.eos_ids
+        s = 0
+        while not done and len(out) < max_new:
+            vpos = tl + s
+            logits, cache, state = self._decode(
+                self.params, jnp.full((1,), tok, jnp.int32), vpos, cache,
+                state)
+            tok = int(jax.device_get(jnp.argmax(logits, axis=-1))[0])
+            timestamps.append(time.perf_counter())
+            out.append(tok)
+            done = tok in self.eos_ids
+            s += 1
+        ttft = timestamps[0] - t0
+        tpot = [timestamps[i] - (timestamps[i - 1] if i else t0)
+                for i in range(len(timestamps))]
+        arr = np.full((1, max_new),
+                      next(iter(self.eos_ids)) if self.eos_ids else 0,
+                      np.int32)
+        arr[0, :len(out)] = out
+        return GenerateResult(tokens=arr,
+                              gen_lengths=np.array([len(out)]),
+                              ttft_s=ttft, tpot_s=tpot)

@@ -1,0 +1,296 @@
+"""Llama-family decoder in pure JAX with SCOPE compression integrated.
+
+Replaces the reference's 17+15 monkeypatched HF attention forwards
+(llama_model.py, mistral_model.py) with ONE attention implementation whose
+compression hooks are functional transforms; method dispatch happens at
+trace time from the typed config instead of via monkeypatching
+(monkeypatch.py:16-102).
+
+Semantics preserved from the reference forward (llama_model.py:495-643):
+- RoPE is applied before caching; evicted caches keep original phases.
+- GQA expansion happens before the cache update in parity mode
+  (repeat_kv at llama_model.py:566-567), so eviction is per query head.
+- Prefill attention runs over the full uncompressed keys; only the stored
+  cache is compressed (llama_model.py:579-582 vs :602-611).
+- Decode attention runs over the appended, not-yet-compressed cache; the
+  compressed result is what the next step sees (llama_model.py:591-611).
+- Softmax upcasts to float32 (llama_model.py:609).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from scope_tpu.cache import KVCache, append_token, init_cache, slot_mask
+from scope_tpu.compression.policies import compress_prefill
+from scope_tpu.compression.schedulers import (DecodeCaps, SchedState,
+                                              decode_schedule,
+                                              static_keep_cap)
+from scope_tpu.config import CompressionConfig, EngineConfig, ModelSpec
+from scope_tpu.ops.attention import (decode_attention, prefill_attention)
+from scope_tpu.ops.common import (apply_rope, repeat_kv, rms_norm,
+                                  rope_cos_sin, rope_inv_freq, swiglu)
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# parameters
+# --------------------------------------------------------------------------
+
+def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16
+                ) -> Params:
+    """Random init with HF-like scales (for tests/benchmarks)."""
+    L, E = spec.num_layers, spec.hidden_size
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    I = spec.intermediate_size
+    keys = jax.random.split(key, 10)
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32)
+                * (1.0 / math.sqrt(fan_in))).astype(dtype)
+
+    params = {
+        "embed": dense(keys[0], (spec.vocab_size, E), E),
+        "final_norm": jnp.ones((E,), dtype),
+        "layers": {
+            "ln_attn": jnp.ones((L, E), dtype),
+            "ln_mlp": jnp.ones((L, E), dtype),
+            "wq": dense(keys[1], (L, E, Hq * D), E),
+            "wk": dense(keys[2], (L, E, Hkv * D), E),
+            "wv": dense(keys[3], (L, E, Hkv * D), E),
+            "wo": dense(keys[4], (L, Hq * D, E), Hq * D),
+            "w_gate": dense(keys[5], (L, E, I), E),
+            "w_up": dense(keys[6], (L, E, I), E),
+            "w_down": dense(keys[7], (L, I, E), I),
+        },
+    }
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = dense(keys[8], (E, spec.vocab_size), E)
+    return params
+
+
+def _lm_logits(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    if spec.tie_word_embeddings:
+        return jnp.dot(h, params["embed"].T)
+    return jnp.dot(h, params["lm_head"])
+
+
+# --------------------------------------------------------------------------
+# shapes / derived statics
+# --------------------------------------------------------------------------
+
+class ModelStatics(NamedTuple):
+    cache_heads: int          # H stored in the cache
+    capacity: int
+    caps: DecodeCaps
+
+
+def derive_statics(spec: ModelSpec, comp: CompressionConfig,
+                   ecfg: EngineConfig) -> ModelStatics:
+    cache_heads = spec.num_heads if comp.evict_per_qhead else spec.num_kv_heads
+    capacity = ecfg.cache_capacity(comp)
+    caps = DecodeCaps(keep_cap=static_keep_cap(comp, ecfg.max_new_tokens),
+                      capacity=capacity)
+    return ModelStatics(cache_heads, capacity, caps)
+
+
+def _group_scores(scores: Optional[jnp.ndarray], groups: int):
+    """Aggregate per-query-head scores to per-KV-head (sum over group)."""
+    if scores is None:
+        return None
+    B, Hq, S = scores.shape
+    return scores.reshape(B, Hq // groups, groups, S).sum(axis=2)
+
+
+# --------------------------------------------------------------------------
+# prefill
+# --------------------------------------------------------------------------
+
+def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
+            params: Params, tokens: jnp.ndarray, true_len: jnp.ndarray
+            ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
+    """Process the (right-padded) prompt; returns (last-token logits [B, V],
+    compressed cache, fresh scheduler state)."""
+    st = derive_statics(spec, comp, ecfg)
+    B, S = tokens.shape
+    L = spec.num_layers
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    G = spec.num_kv_groups
+    dtype = jnp.dtype(ecfg.dtype)
+
+    need_all = comp.method in ("h2o", "pyramidkv")
+    need_win = comp.method == "snapkv"
+
+    inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(dtype)
+    lp = params["layers"]
+
+    def layer(x, p, layer_idx):
+        h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
+        q = jnp.dot(h, p["wq"]).reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
+        k = jnp.dot(h, p["wk"]).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        v = jnp.dot(h, p["wv"]).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_full = repeat_kv(k, G)
+        v_full = repeat_kv(v, G)
+        out, scores = prefill_attention(
+            q, k_full, v_full, true_len,
+            window_size=comp.window_size,
+            need_colsum_all=need_all, need_colsum_window=need_win,
+            sliding_window=spec.sliding_window,
+            softmax_f32=ecfg.softmax_f32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, Hq * D)
+        x = x + jnp.dot(out, p["wo"])
+        h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
+        x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+
+        if comp.evict_per_qhead:
+            ck, cv, cq = k_full, v_full, q
+            sc = scores
+        else:
+            ck, cv = k, v
+            cq = q
+            sc = scores._replace(
+                colsum_all=_group_scores(scores.colsum_all, G),
+                colsum_window=_group_scores(scores.colsum_window, G))
+        res = compress_prefill(comp, layer_idx, L, ck, cv, cq, sc,
+                               true_len, st.capacity)
+        return x, res
+
+    def body(carry, xs):
+        x = carry
+        p, layer_idx = xs
+        x, res = layer(x, p, layer_idx)
+        return x, (res.cache_k, res.cache_v, res.length, res.pvalid)
+
+    x, (cks, cvs, lens, pvalids) = lax.scan(
+        body, x, (lp, jnp.arange(L)))
+
+    cache = KVCache(k=cks, v=cvs, length=lens, pvalid=pvalids,
+                    prefill_gap=0, prompt_len=true_len,
+                    page_min=None, page_max=None)
+    if comp.method == "quest":
+        from scope_tpu.compression.quest import build_page_metadata
+        cache = build_page_metadata(comp, cache, true_len)
+
+    x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+    # Logits at the last real token of each row.
+    last = jnp.clip(true_len - 1, 0, S - 1)
+    h_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = _lm_logits(spec, params, h_last)
+    return logits, cache, SchedState.init()
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
+                params: Params, token: jnp.ndarray, vpos: jnp.ndarray,
+                cache: KVCache, state: SchedState
+                ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
+    """One decode step.  token: [B] int32 (the token being fed); vpos: [B]
+    its virtual position (true_len + step).  Returns next-token logits."""
+    st = derive_statics(spec, comp, ecfg)
+    B = token.shape[0]
+    L = spec.num_layers
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    G = spec.num_kv_groups
+    dtype = jnp.dtype(ecfg.dtype)
+
+    inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
+    cos, sin = rope_cos_sin(vpos[:, None], inv_freq)     # [B,1,D]
+
+    x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)
+    lp = params["layers"]
+    quest = comp.method == "quest"
+
+    def layer(x, cache_l, state, p, layer_idx):
+        ck, cv, length, pvalid = cache_l
+        h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
+        q = jnp.dot(h, p["wq"]).reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
+        k = jnp.dot(h, p["wk"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
+        v = jnp.dot(h, p["wv"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if comp.evict_per_qhead:
+            k = repeat_kv(k, G)
+            v = repeat_kv(v, G)
+
+        ck, cv, length = append_token(ck, cv, k, v, length)
+        mask = slot_mask(length, pvalid, cache.prefill_gap, st.capacity)
+
+        if quest:
+            from scope_tpu.compression.quest import quest_decode_layer
+            out, probs, ck, cv, length = quest_decode_layer(
+                comp, st.caps, q, ck, cv, length, cache.prompt_len,
+                cache.page_min, cache.page_max, layer_idx,
+                softmax_f32=ecfg.softmax_f32, groups=1 if
+                comp.evict_per_qhead else G)
+            new_state = state
+        else:
+            if comp.evict_per_qhead:
+                out, probs = decode_attention(q, ck, cv, mask,
+                                              softmax_f32=ecfg.softmax_f32)
+            else:
+                out, probs = _grouped_decode_attention(
+                    q, ck, cv, mask, G, softmax_f32=ecfg.softmax_f32)
+            ck, cv, length, new_state = decode_schedule(
+                comp, st.caps, state, ck, cv, length, probs,
+                cache.prompt_len, layer_idx, L)
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
+        x = x + jnp.dot(out, p["wo"])
+        h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
+        x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+        return x, (ck, cv, length, pvalid), new_state
+
+    def body(carry, xs):
+        x, state = carry
+        p, ck, cv, length, pvalid, layer_idx = xs
+        x, cache_l, state = layer(x, (ck, cv, length, pvalid), state, p,
+                                  layer_idx)
+        return (x, state), cache_l
+
+    (x, state), (cks, cvs, lens, pvalids) = lax.scan(
+        body, (x, state),
+        (lp, cache.k, cache.v, cache.length, cache.pvalid, jnp.arange(L)))
+
+    cache = cache.replace(k=cks, v=cvs, length=lens, pvalid=pvalids)
+    x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+    logits = _lm_logits(spec, params, x[:, 0])
+    return logits, cache, state
+
+
+def _grouped_decode_attention(q, cache_k, cache_v, mask, groups, *,
+                              softmax_f32=True):
+    """GQA decode attention without expanding the cache (kv-head layout).
+
+    q: [B, Hq, 1, D]; cache: [B, Hkv, S, D]; mask: [B, Hkv, S].
+    Returns (out [B, Hq, 1, D], probs-per-kv-head [B, Hkv, S], summed over
+    the query-head group for use as eviction scores).
+    """
+    from scope_tpu.ops.attention import NEG_INF
+    B, Hq, _, D = q.shape
+    Hkv = cache_k.shape[1]
+    scale = 1.0 / math.sqrt(D)
+    acc = jnp.float32 if softmax_f32 else q.dtype
+    qg = q.reshape(B, Hkv, Hq // Hkv, D)
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k,
+                        preferred_element_type=acc) * scale
+    logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cache_v.dtype), cache_v)
+    out = out.reshape(B, Hq, 1, D)
+    return out, probs.sum(axis=2)
