@@ -1,0 +1,203 @@
+"""LongGenBench benchmark runner (reference: run_longgenbench.py).
+
+Same CLI knobs, same per-example JSON record schema
+({prompt, questions, answers, pre_length, gen_length, TTFT, TPOT, pred},
+run_longgenbench.py:259-272) and the same result-file layout
+(save_dir/{model}_{P}_{attn}/{dataset}/pre_{method}_dec_{metric}.json,
+:149-153) so the evaluator consumes either harness's output.
+
+Differences by design:
+- Per-layer config injection into HF modules (:201-226) is replaced by a
+  typed CompressionConfig; the derived delta formula (:218) is kept.
+- Runs on TPU/CPU via JAX; weights load from an HF safetensors dir, or
+  --random_weights for infrastructure smoke runs without a checkpoint.
+- Tokenizer: HF AutoTokenizer when available; --tokenizer byte provides a
+  dependency-free byte-level fallback for smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from scope_tpu.bench import data as D
+from scope_tpu.config import (CompressionConfig, EngineConfig, derive_delta)
+
+CANON_METHOD = {
+    "fullkv": "FullKV", "allkv": "ALLKV", "h2o": "H2O", "snapkv": "SnapKV",
+    "pyramidkv": "PyramidKV", "streamingllm": "StreamingLLM",
+    "quest": "Quest", "headwise": "Headwise",
+}
+
+
+class ByteTokenizer:
+    """Byte-level fallback tokenizer (ids 0..255, eos=256, bos=257)."""
+
+    vocab_size = 258
+    eos_token_id = 256
+    bos_token_id = 257
+
+    def encode(self, text: str) -> List[int]:
+        return [self.bos_token_id] + list(text.encode("utf-8"))
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        body = bytes(i for i in ids if i < 256)
+        return body.decode("utf-8", errors="replace")
+
+
+def load_tokenizer(args):
+    if args.tokenizer == "byte":
+        return ByteTokenizer()
+    path = args.tokenizer if args.tokenizer else args.model_path
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(path, use_fast=True,
+                                        padding_side="left")
+    if tok.pad_token is None:
+        tok.pad_token = tok.eos_token
+    return tok
+
+
+def build_compression(args, output_len: int, dataset: str
+                      ) -> CompressionConfig:
+    method = args.method.lower()
+    P = args.max_capacity_prompts
+    # Window sizing rule (run_longgenbench.py:188-194).
+    if method == "streamingllm":
+        window = P // 2
+    else:
+        window = 8
+    delta = derive_delta(output_len, args.decoding_window_size,
+                         args.decoding_recent_size)
+    metric = args.decoding_metric
+    metric = "none" if metric in ("None", "none") else metric
+    return CompressionConfig(
+        method=method, decoding_metric=metric,
+        max_capacity_prompt=P, window_size=window,
+        kernel_size=7, pooling="maxpool",
+        decoding_window_size=args.decoding_window_size,
+        decoding_recent_size=args.decoding_recent_size,
+        delta=delta, chunk_size=args.chunk_size,
+        evict_per_qhead=not args.evict_per_kv_head,
+    )
+
+
+def run_dataset(args, spec, params, tokenizer, dataset: str, fout):
+    import jax
+    import jax.numpy as jnp
+    from scope_tpu.engine.generate import StreamingGenerator
+
+    K = D.rescale_k_for_dataset(dataset, args.K)
+    out_len = (args.max_new_tokens if args.max_new_tokens
+               else D.output_max_len(dataset, args.K))
+    data_file = args.data_file or os.path.join(
+        args.base_dir, "data", "longgenbench_examples",
+        f"{dataset}_{K}_{args.shot_number}shot.jsonl")
+    examples = D.load_examples(data_file, dataset, args.model_path or "",
+                               args.max_num_examples)
+    limit = D.model_max_len(args.model_path or spec.name)
+
+    comp = build_compression(args, out_len, dataset)
+    ecfg = EngineConfig(
+        max_prompt_len=min(args.max_prompt_len, spec.max_position_embeddings),
+        max_new_tokens=out_len, dtype=args.dtype)
+    eos_ids = tuple(args.eos_ids) if args.eos_ids else (
+        (tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None
+        else ())
+    gen = StreamingGenerator(spec, comp, ecfg, params, eos_ids=eos_ids)
+
+    for ex in examples:
+        ids = tokenizer.encode(ex.prompt)
+        ids = D.middle_truncate_ids(ids, limit)
+        ids = ids[:ecfg.max_prompt_len]
+        bucket = ecfg.bucket_for(len(ids))
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :len(ids)] = ids
+        res = gen.generate(toks, np.array([len(ids)]), out_len)
+        n = int(res.gen_lengths[0])
+        pred = tokenizer.decode(res.tokens[0, :n].tolist(),
+                                skip_special_tokens=True)
+        record = {
+            "prompt": ex.prompt,
+            "questions": ex.questions,
+            "answers": ex.answers,
+            "pre_length": len(ex.prompt),
+            "gen_length": n,
+            "TTFT": res.ttft_s,
+            "TPOT": res.tpot_s,
+            "pred": pred,
+        }
+        fout.write(json.dumps(record) + "\n")
+        fout.flush()
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--base_dir", type=str, default=".")
+    p.add_argument("--datasets", type=str, nargs="*", default=["gsm8k"])
+    p.add_argument("--data_file", type=str, default=None)
+    p.add_argument("--save_dir", type=str, default="results")
+    p.add_argument("--model_path", type=str, default=None,
+                   help="HF checkpoint dir (config.json + safetensors)")
+    p.add_argument("--model_spec", type=str, default=None,
+                   help="registry spec name when using --random_weights")
+    p.add_argument("--random_weights", action="store_true",
+                   help="random-init weights (infrastructure smoke runs)")
+    p.add_argument("--tokenizer", type=str, default=None,
+                   help="tokenizer path, or 'byte' for the fallback")
+    p.add_argument("--max_num_examples", type=int, default=None)
+    p.add_argument("--max_new_tokens", type=int, default=None)
+    p.add_argument("--max_prompt_len", type=int, default=8192)
+    p.add_argument("--method", type=str, default="allkv")
+    p.add_argument("--max_capacity_prompts", type=int, default=512)
+    p.add_argument("--decoding_metric", type=str, default="None")
+    p.add_argument("--decoding_window_size", type=int, default=1024)
+    p.add_argument("--decoding_recent_size", type=int, default=128)
+    p.add_argument("--K", type=int, default=30)
+    p.add_argument("--shot_number", type=int, default=8)
+    p.add_argument("--chunk_size", type=int, default=16)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--evict_per_kv_head", action="store_true")
+    p.add_argument("--eos_ids", type=int, nargs="*", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from scope_tpu.models import llama
+    from scope_tpu.models.loader import load_hf_checkpoint
+    from scope_tpu.models.registry import get_spec
+
+    np.random.seed(args.seed)
+    dtype = jnp.dtype(args.dtype)
+    if args.random_weights:
+        spec = get_spec(args.model_spec or "tiny-llama")
+        params = llama.init_params(spec, jax.random.key(args.seed), dtype)
+    else:
+        spec, params = load_hf_checkpoint(args.model_path, dtype)
+
+    tokenizer = load_tokenizer(args)
+    model_name = (args.model_path or spec.name).rstrip("/").split("/")[-1]
+    method_name = CANON_METHOD.get(args.method.lower(), args.method)
+
+    for dataset in args.datasets:
+        out_dir = os.path.join(
+            args.save_dir,
+            f"{model_name}_{args.max_capacity_prompts}_tpu", dataset)
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(
+            out_dir, f"pre_{method_name}_dec_{args.decoding_metric}.json")
+        with open(out_path, "w") as fout:
+            run_dataset(args, spec, params, tokenizer, dataset, fout)
+        print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,17 @@ def compress_prefill(comp: CompressionConfig, layer_idx, num_layers: int,
         pv = jnp.broadcast_to(true_len[:, None], (B, H))
         return PrefillResult(ck, cv, true_len, pv)
 
+    if method == "headwise":
+        from scope_tpu.compression.headwise import headwise_prefill_map
+        src, pvalid = headwise_prefill_map(comp, q, k, true_len, capacity,
+                                           layer_idx)
+        ck, cv = _gather_to_capacity(k, v, src, capacity)
+        # Decode tokens append at the reserved-segment boundary, uniformly
+        # across heads (per-head validity lives in pvalid).
+        gap = comp.headwise_max_budget
+        length = jnp.full_like(true_len, gap)
+        return PrefillResult(ck, cv, length, pvalid)
+
     P = comp.max_capacity_prompt
     w = comp.window_size
     if S_pad <= P:
@@ -157,12 +168,6 @@ def compress_prefill(comp: CompressionConfig, layer_idx, num_layers: int,
         s = jnp.where(region[:, None, :], scores.colsum_all, NEG_INF)
         src, new_len = _topk_tail_map(s, k_static, n_keep, tail_start, w,
                                       capacity)
-    elif method == "headwise":
-        from scope_tpu.compression.headwise import headwise_prefill_map
-        src, pvalid = headwise_prefill_map(comp, q, k, true_len, capacity)
-        ck, cv = _gather_to_capacity(k, v, src, capacity)
-        length = jnp.minimum(true_len, capacity)
-        return PrefillResult(ck, cv, length, pvalid)
     else:
         raise ValueError(f"unknown prefill method {method!r}")
 

@@ -1,0 +1,233 @@
+"""Quest: query-aware page selection over an uncompressed prefill cache.
+
+Reference semantics (kv_utils.py:1182-1483):
+- Prefill stores everything; the true prompt length is recorded (:1250).
+- Each decode step scores 16-token pages with the sign-trick bound
+  score_d = max(q_d * page_min_d, q_d * page_max_d) (:1296-1335), selects
+  top pages with the last page force-included (local_heavy_hitter_mask
+  :23-88, force-include :60-75), and separately compresses the decode
+  region with the None/fixed/linear/jump metrics (:1389-1474).
+- Layers 0..1 bypass selection entirely (:1277-1278).
+
+Deviations (intent over artifact, SURVEY.md §7):
+- The reference *computes* the page selection but then attends over the
+  full cache anyway (llama_model.py:2201-2217 uses the appended
+  ``key_states``, discarding the "for compute" tensors).  Here attention
+  actually runs over [selected pages | decode region] — Quest's point.
+- Page min/max metadata is precomputed once after prefill instead of
+  rebuilt from ``key * sign`` every step (:1296-1331); the selected pages
+  are identical because amax(key * sign) == where(q>0, page_max, page_min)
+  dotted with |q|.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from scope_tpu.cache import KVCache
+from scope_tpu.compression.schedulers import DecodeCaps, SchedState, _keep_map
+from scope_tpu.config import CompressionConfig
+from scope_tpu.ops.attention import NEG_INF
+
+
+def num_pages(max_prompt_len: int, chunk: int) -> int:
+    return -(-max_prompt_len // chunk)
+
+
+def build_page_metadata(comp: CompressionConfig, cache: KVCache,
+                        true_len: jnp.ndarray) -> KVCache:
+    """Fill per-page min/max key metadata over the prefill region.
+
+    cache.k: [L, B, H, cap, D]; pages cover slots [0, NP*chunk)."""
+    chunk = comp.chunk_size
+    L, B, H, cap, D = cache.k.shape
+    NP = cap // chunk
+    k = cache.k[:, :, :, :NP * chunk, :].reshape(L, B, H, NP, chunk, D)
+    slot = (jnp.arange(NP * chunk).reshape(NP, chunk))
+    real = slot[None, :, :] < true_len[:, None, None]          # [B,NP,chunk]
+    real = real[None, :, None, :, :, None]                     # broadcast
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, k.dtype)
+    page_min = jnp.min(jnp.where(real, k, big), axis=4)        # [L,B,H,NP,D]
+    page_max = jnp.max(jnp.where(real, k, -big), axis=4)
+    return cache.replace(page_min=page_min, page_max=page_max)
+
+
+def _page_scores(q: jnp.ndarray, page_min: jnp.ndarray,
+                 page_max: jnp.ndarray) -> jnp.ndarray:
+    """q: [B, Hc, G, D]; page_min/max: [B, Hc, NP, D] -> [B, Hc, NP]
+    (scores summed over the q-head group, per cache head)."""
+    contrib = jnp.where(q[:, :, :, None, :] > 0,
+                        page_max[:, :, None, :, :],
+                        page_min[:, :, None, :, :])
+    per_head = jnp.einsum("bhgd,bhgpd->bhgp",
+                          q.astype(jnp.float32),
+                          contrib.astype(jnp.float32))
+    return per_head.sum(axis=2)                                # [B,Hc,NP]
+
+
+def quest_decode_layer(
+    comp: CompressionConfig,
+    caps: DecodeCaps,
+    state: SchedState,
+    q: jnp.ndarray,             # [B, Hq, 1, D] roped query
+    ck: jnp.ndarray,            # [B, Hc, cap, D] appended cache
+    cv: jnp.ndarray,
+    length: jnp.ndarray,        # [B] includes appended token
+    prompt_len: jnp.ndarray,    # [B]
+    page_min: jnp.ndarray,      # [B, Hc, NP, D]
+    page_max: jnp.ndarray,
+    layer_idx: jnp.ndarray,
+    num_layers: int,
+    *,
+    dec_cap: int,
+    softmax_f32: bool = True,
+    groups: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, SchedState]:
+    """Returns (attn_out [B, Hq, 1, D], ck, cv, length, state)."""
+    B, Hq, _, D = q.shape
+    Hc = ck.shape[1]
+    cap = ck.shape[2]
+    chunk = comp.chunk_size
+    NP = page_min.shape[2]
+    P = comp.max_capacity_prompt
+    W = comp.decoding_window_size
+    r = comp.decoding_recent_size
+    scale = 1.0 / math.sqrt(D)
+    qg = q.reshape(B, Hc, groups, D)
+
+    # ---------------- counters (shared class-attr semantics) -------------
+    metric = comp.decoding_metric
+    dk_len = length - prompt_len                               # [B]
+    if metric in ("linear", "jump"):
+        w_t = r + state.step // (comp.delta * num_layers)
+    else:
+        w_t = jnp.full((), W, jnp.int32)
+
+    dense = layer_idx < comp.quest_skip_layers
+    # Reference returns before touching counters for layers 0..1
+    # (kv_utils.py:1277-1278).
+    if metric in ("linear", "jump"):
+        state = state.replace(step=jnp.where(dense, state.step,
+                                             state.step + 1))
+
+    # ---------------- page selection -------------------------------------
+    SELP = max(1, min(P, NP * chunk) // chunk)                 # static cap
+    page_sc = _page_scores(qg, page_min, page_max)             # [B,Hc,NP]
+    np_real = (prompt_len + chunk - 1) // chunk                # [B]
+    last_page = jnp.maximum(np_real - 1, 0)
+    p_idx = jnp.arange(NP)
+    token_budget = jnp.minimum(prompt_len, P)
+    n_pages = jnp.minimum(token_budget // chunk, np_real)      # [B] incl last
+    masked = jnp.where(p_idx[None, None, :] < last_page[:, None, None],
+                       page_sc, NEG_INF)
+    if SELP > 1:
+        sel = lax.top_k(masked, SELP - 1)[1]                   # [B,Hc,SELP-1]
+    else:
+        sel = jnp.zeros((B, Hc, 0), jnp.int32)
+    j = jnp.arange(SELP)
+    is_last_slot = j[None, None, :] == (n_pages - 1)[:, None, None]
+    sel_padded = jnp.concatenate(
+        [sel, jnp.zeros((B, Hc, 1), sel.dtype)], axis=-1)
+    sel_pages = jnp.where(
+        is_last_slot, last_page[:, None, None],
+        jnp.take_along_axis(sel_padded,
+                            jnp.broadcast_to(jnp.clip(j, 0, SELP - 1),
+                                             (B, Hc, SELP)), axis=-1))
+    page_valid = j[None, None, :] < n_pages[:, None, None]     # [B,Hc,SELP]
+
+    off = jnp.arange(chunk)
+    tok_idx = (sel_pages[..., None] * chunk + off).reshape(B, Hc,
+                                                           SELP * chunk)
+    tok_valid = (page_valid[..., None]
+                 & ((sel_pages[..., None] * chunk + off)
+                    < prompt_len[:, None, None, None])).reshape(
+                        B, Hc, SELP * chunk)
+
+    dec_idx = prompt_len[:, None, None] + jnp.arange(dec_cap)[None, None, :]
+    dec_valid = dec_idx < length[:, None, None]
+    dec_idx = jnp.broadcast_to(dec_idx, (B, Hc, dec_cap))
+    dec_valid = jnp.broadcast_to(dec_valid, (B, Hc, dec_cap))
+
+    all_idx = jnp.clip(jnp.concatenate([tok_idx, dec_idx], axis=-1),
+                       0, cap - 1)
+    all_valid = jnp.concatenate([tok_valid, dec_valid], axis=-1)
+
+    def attend(idx, valid):
+        k_sel = jnp.take_along_axis(ck, idx[..., None], axis=2)
+        v_sel = jnp.take_along_axis(cv, idx[..., None], axis=2)
+        acc = jnp.float32 if softmax_f32 else q.dtype
+        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, k_sel,
+                            preferred_element_type=acc) * scale
+        logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cv.dtype), v_sel)
+        return out.reshape(B, Hq, 1, D), probs.sum(axis=2)      # [B,Hc,S']
+
+    def quest_branch(_):
+        out, probs = attend(all_idx, all_valid)
+        return out, probs[:, :, SELP * chunk:]                  # decode part
+
+    def dense_branch(_):
+        # Full attention over all valid slots (layers 0..1).
+        slot = jnp.arange(cap)
+        valid = jnp.broadcast_to(slot[None, None, :] < length[:, None, None],
+                                 (B, Hc, cap))
+        acc = jnp.float32 if softmax_f32 else q.dtype
+        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, ck,
+                            preferred_element_type=acc) * scale
+        logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cv.dtype), cv)
+        dec_probs = jnp.take_along_axis(probs.sum(axis=2),
+                                        jnp.clip(dec_idx, 0, cap - 1),
+                                        axis=-1)
+        return out.reshape(B, Hq, 1, D), dec_probs
+
+    out, dec_probs = lax.cond(dense, dense_branch, quest_branch, None)
+
+    # ---------------- decode-region compression ---------------------------
+    if metric == "none":
+        return out, ck, cv, length, state
+
+    # Gates are relative to the decode region (kv_utils.py:1397, :1422).
+    row_gate = dk_len >= w_t
+    if metric == "jump":
+        thresh = comp.delta * num_layers
+        gate_any = jnp.any(row_gate) & ~dense
+        counting = gate_any & (state.jump_step < thresh)
+        wave = gate_any & (state.jump_step >= thresh)
+        js = state.jump_step + counting.astype(jnp.int32)
+        jl = state.jump_layer + wave.astype(jnp.int32)
+        finished = jl >= num_layers
+        state = state.replace(jump_step=jnp.where(finished, 0, js),
+                              jump_layer=jnp.where(finished, 0, jl))
+        row_gate = row_gate & wave
+
+    n_keep = jnp.clip(w_t - r, 0, caps.keep_cap)
+    n_keep = jnp.minimum(jnp.broadcast_to(n_keep, (B,)),
+                         jnp.maximum(dk_len - r, 0))
+
+    # Scatter decode-region probabilities to absolute slot positions so the
+    # generic keep-map applies with pseg = prompt_len.
+    def scatter_row(p_abs, p_dec, start):
+        return lax.dynamic_update_slice(p_abs, p_dec, (0, start))
+    probs_abs = jax.vmap(scatter_row)(
+        jnp.zeros((B, Hc, cap), jnp.float32), dec_probs, prompt_len)
+
+    do = jnp.any(row_gate) & ~dense
+
+    def compress(args):
+        k_, v_, ln = args
+        src, new_len = _keep_map(probs_abs, ln, prompt_len, r, n_keep,
+                                 caps.keep_cap, cap, row_gate)
+        idx = src[..., None]
+        return (jnp.take_along_axis(k_, idx, axis=2),
+                jnp.take_along_axis(v_, idx, axis=2), new_len)
+
+    ck, cv, length = lax.cond(do, compress, lambda a: a, (ck, cv, length))
+    return out, ck, cv, length, state

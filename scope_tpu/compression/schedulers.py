@@ -148,6 +148,9 @@ def decode_schedule(
     # (kv_utils.py:1070,1085), the configured budget for everything else.
     if comp.method in ("allkv", "quest"):
         pseg0 = prompt_len
+    elif comp.method == "headwise":
+        # Reserved per-head prefill segment boundary.
+        pseg0 = jnp.full((B,), comp.headwise_max_budget, jnp.int32)
     else:
         pseg0 = jnp.full((B,), P, jnp.int32)
 

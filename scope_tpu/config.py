@@ -159,17 +159,28 @@ class EngineConfig:
         P = comp.max_capacity_prompt
         W = comp.decoding_window_size
         r = comp.decoding_recent_size
-        if comp.method in ("fullkv",) or (
-            comp.method in ("allkv", "quest") and comp.decoding_metric == "none"
+        if comp.method in ("fullkv", "quest") or (
+            comp.method == "allkv" and comp.decoding_metric == "none"
         ):
+            # Quest keeps the full prefill for all layers and lets layers
+            # 0..quest_skip_layers grow uncompressed (kv_utils.py:1277).
             return _round_up(self.max_prompt_len + self.max_new_tokens, 128)
-        if comp.method in ("allkv", "quest"):
+        if comp.method == "allkv":
             # Full prefill is kept; only the decode region is bounded.
             base = self.max_prompt_len
+        elif comp.method == "headwise":
+            # Reserved per-head segment (compression/headwise.py layout).
+            base = comp.headwise_max_budget
         else:
             base = min(P, self.max_prompt_len)
         if comp.decoding_metric == "none":
             return _round_up(base + self.max_new_tokens, 128)
+        if comp.decoding_metric == "pyramidinfer":
+            # Shallow layers may keep up to max_num + W + r tokens
+            # (kv_utils.py:241-245).
+            min_num = (P + W - r) // 2
+            max_num = (P + W - r) * 2 - min_num
+            return _round_up(max(base, max_num + W) + r + 2, 128)
         w_final = self.decode_budget_cap(comp) + r
         slack = comp.delta + 2  # jump-wave overshoot + append slot
         return _round_up(base + w_final + slack, 128)

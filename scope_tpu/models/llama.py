@@ -177,8 +177,9 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     x, (cks, cvs, lens, pvalids) = lax.scan(
         body, x, (lp, jnp.arange(L)))
 
+    gap = comp.headwise_max_budget if comp.method == "headwise" else 0
     cache = KVCache(k=cks, v=cvs, length=lens, pvalid=pvalids,
-                    prefill_gap=0, prompt_len=true_len,
+                    prefill_gap=gap, prompt_len=true_len,
                     page_min=None, page_max=None)
     if comp.method == "quest":
         from scope_tpu.compression.quest import build_page_metadata
@@ -217,7 +218,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     quest = comp.method == "quest"
 
     def layer(x, cache_l, state, p, layer_idx):
-        ck, cv, length, pvalid = cache_l
+        ck, cv, length, pvalid, pmin, pmax = cache_l
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
         q = jnp.dot(h, p["wq"]).reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
         k = jnp.dot(h, p["wk"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
@@ -233,12 +234,12 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
 
         if quest:
             from scope_tpu.compression.quest import quest_decode_layer
-            out, probs, ck, cv, length = quest_decode_layer(
-                comp, st.caps, q, ck, cv, length, cache.prompt_len,
-                cache.page_min, cache.page_max, layer_idx,
-                softmax_f32=ecfg.softmax_f32, groups=1 if
-                comp.evict_per_qhead else G)
-            new_state = state
+            out, ck, cv, length, new_state = quest_decode_layer(
+                comp, st.caps, state, q, ck, cv, length, cache.prompt_len,
+                pmin, pmax, layer_idx, L,
+                dec_cap=ecfg.max_new_tokens + 1,
+                softmax_f32=ecfg.softmax_f32,
+                groups=1 if comp.evict_per_qhead else G)
         else:
             if comp.evict_per_qhead:
                 out, probs = decode_attention(q, ck, cv, mask,
@@ -256,16 +257,21 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
         return x, (ck, cv, length, pvalid), new_state
 
+    dummy_pages = (jnp.zeros((L, 1)),) * 2
+    pmin_all = cache.page_min if quest else dummy_pages[0]
+    pmax_all = cache.page_max if quest else dummy_pages[1]
+
     def body(carry, xs):
         x, state = carry
-        p, ck, cv, length, pvalid, layer_idx = xs
-        x, cache_l, state = layer(x, (ck, cv, length, pvalid), state, p,
-                                  layer_idx)
+        p, ck, cv, length, pvalid, pmin, pmax, layer_idx = xs
+        x, cache_l, state = layer(x, (ck, cv, length, pvalid, pmin, pmax),
+                                  state, p, layer_idx)
         return (x, state), cache_l
 
     (x, state), (cks, cvs, lens, pvalids) = lax.scan(
         body, (x, state),
-        (lp, cache.k, cache.v, cache.length, cache.pvalid, jnp.arange(L)))
+        (lp, cache.k, cache.v, cache.length, cache.pvalid,
+         pmin_all, pmax_all, jnp.arange(L)))
 
     cache = cache.replace(k=cks, v=cvs, length=lens, pvalid=pvalids)
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)

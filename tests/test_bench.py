@@ -1,0 +1,135 @@
+"""Runner + evaluator tests (reference L4/L5 behavior compatibility)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scope_tpu.bench import data as D
+from scope_tpu.bench import evaluate as E
+
+
+# ------------------------- evaluator ---------------------------------------
+
+GSM_PRED = ("Answer_1: Some steps here. The answer is 42\n"
+            "Answer_2: More work. The answer is 7\n"
+            "Answer_3: Wrong. The answer is 9\n")
+GSM_GOLD = ["blah #### 42", "blah #### 7", "blah #### 10"]
+
+
+def test_gsm8k_scoring():
+    assert E.compare_answers(GSM_PRED, GSM_GOLD) == pytest.approx(2 / 3)
+
+
+def test_gsm8k_zip_truncation():
+    """Missing predictions only count against the expected total."""
+    pred = "Answer_1: The answer is 42\n"
+    assert E.compare_answers(pred, GSM_GOLD) == pytest.approx(1 / 3)
+
+
+def test_mmlu_choice_scoring():
+    pred = ("Answer_1: reasoning. The answer is (A)\n"
+            "Answer_2: reasoning. The answer is (C)\n")
+    assert E.compare_choices(pred, ["A", "B"], "mmlu") == pytest.approx(0.5)
+
+
+def test_csqa_choice_scoring():
+    pred = ("Answer_1: something. The answer is (D)\n"
+            "Answer_2: other. The answer is (E)\n")
+    assert E.compare_choices(pred, ["D", "E"], "csqa") == pytest.approx(1.0)
+
+
+def test_scorer_rounding():
+    s = E.scorer("gsm8k", [GSM_PRED], [GSM_GOLD])
+    assert s == round(100 * 2 / 3, 4)
+
+
+def test_evaluate_results_dir(tmp_path):
+    d = tmp_path / "gsm8k"
+    d.mkdir()
+    rec = {"pred": GSM_PRED, "answers": GSM_GOLD}
+    with open(d / "pre_H2O_dec_fixed.json", "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    rows = E.evaluate_results_dir(str(tmp_path), "fixed",
+                                  datasets=["gsm8k"])
+    header, scores = rows[0], {r[0]: r[1] for r in rows[1:]}
+    assert header == ["dataset", "gsm8k"]
+    assert scores["H2O"] == round(100 * 2 / 3, 4)
+    assert scores["SnapKV"] == -1            # missing file -> -1 (:170-174)
+    assert (tmp_path / "dec_fixed_results.csv").exists()
+    assert json.load(open(d / "metrics.json"))["gsm8k"] == scores["H2O"]
+
+
+# ------------------------- data --------------------------------------------
+
+def test_middle_truncation():
+    ids = list(range(100))
+    out = D.middle_truncate_ids(ids, 10)
+    assert out == list(range(5)) + list(range(95, 100))
+    assert D.middle_truncate_ids(ids, 200) == ids
+
+
+def test_k_rescale():
+    assert D.rescale_k_for_dataset("csqa", 30) == 40
+    assert D.rescale_k_for_dataset("csqa", 60) == 80
+    assert D.rescale_k_for_dataset("gsm8k", 30) == 30
+
+
+def test_output_max_len():
+    assert D.output_max_len("gsm8k", 30) == 4096
+    assert D.output_max_len("gsm8k", 60) == 7950
+
+
+def test_model_max_len():
+    assert D.model_max_len("meta-llama/Llama-2-7b-hf") == 3950
+    assert D.model_max_len("Meta-Llama-3.1-8B-Instruct") == 130000
+    assert D.model_max_len("mistral-7b") == 31500
+
+
+def test_load_examples(tmp_path):
+    f = tmp_path / "x.jsonl"
+    ex = {"prompt": "Q1: a?\nQ2: b?", "questions": ["a?", "b?"],
+          "answers": ["#### 1", "#### 2"]}
+    f.write_text(json.dumps(ex) + "\n")
+    out = D.load_examples(str(f), "gsm8k", "llama-3.1-8b")
+    assert len(out) == 1
+    assert out[0].prompt.startswith("<<SYS>>")          # llama3 modify style
+    assert "Q1: a?" in out[0].prompt
+    out2 = D.load_examples(str(f), "gsm8k", "llama2-7b")
+    assert out2[0].prompt.startswith("[INST]")
+
+
+# ------------------------- runner end-to-end --------------------------------
+
+def test_runner_end_to_end(tmp_path):
+    """Full pipeline smoke: tiny random model + byte tokenizer + 1 example
+    -> record file consumable by the evaluator."""
+    from scope_tpu.bench.runner import main as runner_main
+
+    f = tmp_path / "gsm8k_30_8shot.jsonl"
+    ex = {"prompt": "Question_1: 1+1?", "questions": ["1+1?"],
+          "answers": ["#### 2"]}
+    f.write_text(json.dumps(ex) + "\n")
+
+    save = tmp_path / "results"
+    runner_main([
+        "--data_file", str(f),
+        "--datasets", "gsm8k",
+        "--save_dir", str(save),
+        "--random_weights", "--model_spec", "tiny-llama",
+        "--tokenizer", "byte",
+        "--method", "h2o", "--decoding_metric", "fixed",
+        "--max_capacity_prompts", "64",
+        "--decoding_window_size", "32", "--decoding_recent_size", "16",
+        "--max_new_tokens", "8", "--max_prompt_len", "256",
+        "--dtype", "float32", "--K", "30",
+    ])
+    out = save / "tiny-llama_64_tpu" / "gsm8k" / "pre_H2O_dec_fixed.json"
+    assert out.exists()
+    rec = json.loads(out.read_text().splitlines()[0])
+    for key in ("prompt", "questions", "answers", "pre_length",
+                "gen_length", "TTFT", "TPOT", "pred"):
+        assert key in rec
+    assert rec["gen_length"] >= 1
+    assert len(rec["TPOT"]) == rec["gen_length"]
