@@ -70,6 +70,35 @@ def _page_scores(q: jnp.ndarray, page_min: jnp.ndarray,
     return per_head.sum(axis=2)                                # [B,Hc,NP]
 
 
+def quest_decode_stacked(
+    comp: CompressionConfig,
+    caps: DecodeCaps,
+    state: SchedState,
+    q: jnp.ndarray,             # [B, Hq, 1, D]
+    ck_all: jnp.ndarray,        # [L, B, Hc, cap, D] stacked cache
+    cv_all: jnp.ndarray,
+    len_all: jnp.ndarray,       # [L, B]
+    l: int,                     # static layer index
+    prompt_len: jnp.ndarray,
+    page_min_all: jnp.ndarray,  # [L, B, Hc, NP, D]
+    page_max_all: jnp.ndarray,
+    num_layers: int,
+    *,
+    dec_cap: int,
+    softmax_f32: bool = True,
+    groups: int = 1,
+):
+    """Stacked-buffer wrapper: static-slice reads, cond-gated write-back.
+
+    Returns (out, ck_all, cv_all, len_all, state)."""
+    out, ck, cv, length, state = quest_decode_layer(
+        comp, caps, state, q, ck_all[l], cv_all[l], len_all[l],
+        prompt_len, page_min_all[l], page_max_all[l], l,
+        num_layers, dec_cap=dec_cap, softmax_f32=softmax_f32,
+        groups=groups, stacked=(ck_all, cv_all, len_all, l))
+    return out, ck, cv, length, state
+
+
 def quest_decode_layer(
     comp: CompressionConfig,
     caps: DecodeCaps,
@@ -87,8 +116,13 @@ def quest_decode_layer(
     dec_cap: int,
     softmax_f32: bool = True,
     groups: int = 1,
+    stacked=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, SchedState]:
-    """Returns (attn_out [B, Hq, 1, D], ck, cv, length, state)."""
+    """Returns (attn_out [B, Hq, 1, D], ck, cv, length, state).
+
+    With ``stacked=(ck_all, cv_all, len_all, l)`` the compression rewrite
+    is applied directly to the stacked [L, ...] buffers (in-place under
+    donation) and the stacked arrays are returned instead."""
     B, Hq, _, D = q.shape
     Hc = ck.shape[1]
     cap = ck.shape[2]
@@ -108,7 +142,11 @@ def quest_decode_layer(
     else:
         w_t = jnp.full((), W, jnp.int32)
 
-    dense = layer_idx < comp.quest_skip_layers
+    if isinstance(layer_idx, int):
+        dense = bool(layer_idx < comp.quest_skip_layers)
+    else:
+        dense = layer_idx < comp.quest_skip_layers
+    not_dense = jnp.asarray(jnp.logical_not(dense))
     # Reference returns before touching counters for layers 0..1
     # (kv_utils.py:1277-1278).
     if metric in ("linear", "jump"):
@@ -188,17 +226,26 @@ def quest_decode_layer(
                                         axis=-1)
         return out.reshape(B, Hq, 1, D), dec_probs
 
-    out, dec_probs = lax.cond(dense, dense_branch, quest_branch, None)
+    if isinstance(layer_idx, int):
+        # Static layer index (unrolled decode loop): pick the branch at
+        # trace time — a lax.cond would copy the cache operands.
+        out, dec_probs = (dense_branch(None) if layer_idx
+                          < comp.quest_skip_layers else quest_branch(None))
+    else:
+        out, dec_probs = lax.cond(dense, dense_branch, quest_branch, None)
 
     # ---------------- decode-region compression ---------------------------
     if metric == "none":
+        if stacked is not None:
+            cka, cva, la, _ = stacked
+            return out, cka, cva, la, state
         return out, ck, cv, length, state
 
     # Gates are relative to the decode region (kv_utils.py:1397, :1422).
     row_gate = dk_len >= w_t
     if metric == "jump":
         thresh = comp.delta * num_layers
-        gate_any = jnp.any(row_gate) & ~dense
+        gate_any = jnp.any(row_gate) & not_dense
         counting = gate_any & (state.jump_step < thresh)
         wave = gate_any & (state.jump_step >= thresh)
         js = state.jump_step + counting.astype(jnp.int32)
@@ -219,7 +266,29 @@ def quest_decode_layer(
     probs_abs = jax.vmap(scatter_row)(
         jnp.zeros((B, Hc, cap), jnp.float32), dec_probs, prompt_len)
 
-    do = jnp.any(row_gate) & ~dense
+    do = jnp.any(row_gate) & not_dense
+
+    if stacked is not None:
+        from scope_tpu.compression.schedulers import block_rewrite_cond
+        cka0, cva0, la0, li = stacked
+        if dense is True:      # static bypass layer: nothing to rewrite
+            return out, cka0, cva0, la0, state
+        kblk, vblk, new_len = block_rewrite_cond(
+            comp, caps, probs_abs, cka0[li], cva0[li], length, prompt_len,
+            n_keep, row_gate & not_dense, False, Hc)
+        if B == 1:
+            start = (li, 0, 0, prompt_len[0], 0)
+            cka0 = lax.dynamic_update_slice(cka0, kblk[None], start)
+            cva0 = lax.dynamic_update_slice(cva0, vblk[None], start)
+        else:
+            for b in range(B):
+                sb = (li, b, 0, prompt_len[b], 0)
+                cka0 = lax.dynamic_update_slice(cka0, kblk[b][None, None],
+                                                sb)
+                cva0 = lax.dynamic_update_slice(cva0, vblk[b][None, None],
+                                                sb)
+        la0 = la0.at[li].set(new_len)
+        return out, cka0, cva0, la0, state
 
     def compress(args):
         k_, v_, ln = args

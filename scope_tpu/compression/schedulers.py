@@ -121,35 +121,31 @@ def _rewrite(cache_k, cache_v, src):
             jnp.take_along_axis(cache_v, idx, axis=2))
 
 
-def decode_schedule(
+def schedule_decision(
     comp: CompressionConfig,
     caps: DecodeCaps,
     state: SchedState,
-    cache_k: jnp.ndarray,       # [B, H, S_max, D] (token already appended)
-    cache_v: jnp.ndarray,
-    length: jnp.ndarray,        # [B] int32, includes the appended token
-    probs: jnp.ndarray,         # [B, H, S_max] f32 this step's attn probs
-    prompt_len: jnp.ndarray,    # [B] int32 recorded true prompt length
-    layer_idx: jnp.ndarray,
+    length: jnp.ndarray,        # [B] includes the appended token
+    prompt_len: jnp.ndarray,    # [B]
+    layer_idx,
     num_layers: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, SchedState]:
-    """One reference ``update_kv_in_decoding`` call for one layer."""
-    metric = comp.decoding_metric
-    if metric == "none":
-        return cache_k, cache_v, length, state
+):
+    """Pure counter/gate logic for one layer call.
 
+    Returns (row_gate [B] bool, n_keep [B], pseg [B], positional, state).
+    Splitting this from the cache rewrite lets the model gate the whole
+    (expensive) rewrite with one lax.cond on the stacked buffer.
+    """
+    metric = comp.decoding_metric
     W = comp.decoding_window_size
     r = comp.decoding_recent_size
     delta = comp.delta
-    B = cache_k.shape[0]
+    B = length.shape[0]
     P = comp.max_capacity_prompt
 
-    # P in the decode gates: recorded prompt length for ALLKV/Quest
-    # (kv_utils.py:1070,1085), the configured budget for everything else.
     if comp.method in ("allkv", "quest"):
         pseg0 = prompt_len
     elif comp.method == "headwise":
-        # Reserved per-head prefill segment boundary.
         pseg0 = jnp.full((B,), comp.headwise_max_budget, jnp.int32)
     else:
         pseg0 = jnp.full((B,), P, jnp.int32)
@@ -158,46 +154,37 @@ def decode_schedule(
     positional = False
     pseg = pseg0
 
+    if metric == "none":
+        return jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32), pseg, \
+            False, state
     if metric == "fixed":
-        # kv_utils.py:701-730 — no counters.
         row_gate = length >= pseg0 + W
         n_keep = jnp.full((B,), W - r, jnp.int32)
     elif metric in ("linear", "jump"):
-        # W(t) = r + current_decoding_step // (delta * L); counter
-        # increments *before* the gate (kv_utils.py:733-734, :764-765).
         w_t = r + state.step // thresh
         state = state.replace(step=state.step + 1)
         row_gate = length >= pseg0 + w_t
         n_keep = jnp.full((B,), w_t - r, jnp.int32)
         if metric == "jump":
-            # jump burst waves (kv_utils.py:767-776): per reference, the
-            # counters move once per layer call when *the* gate passes
-            # (batch=1 semantics; we use the any-row gate for batch > 1).
             gate_any = jnp.any(row_gate)
             counting = gate_any & (state.jump_step < thresh)
             wave = gate_any & (state.jump_step >= thresh)
             js = state.jump_step + counting.astype(jnp.int32)
             jl = state.jump_layer + wave.astype(jnp.int32)
             finished = jl >= num_layers
-            state = state.replace(
-                jump_step=jnp.where(finished, 0, js),
-                jump_layer=jnp.where(finished, 0, jl))
+            state = state.replace(jump_step=jnp.where(finished, 0, js),
+                                  jump_layer=jnp.where(finished, 0, jl))
             row_gate = row_gate & wave
     elif metric == "h2o":
-        # Pure H2O during decode: global top-k over the whole cache minus
-        # the recent window, no protected prefill (kv_utils.py:679-700).
         row_gate = length >= pseg0 + W
         n_keep = pseg0 + W - r
         pseg = jnp.zeros((B,), jnp.int32)
     elif metric == "slm":
-        # Positional sink+recent during decode (kv_utils.py:881-902; the
-        # reference body has a latent NameError — we implement the intent).
         row_gate = length >= pseg0 + W
         n_keep = pseg0 + W - r
         pseg = jnp.zeros((B,), jnp.int32)
         positional = True
     elif metric == "pyramidinfer":
-        # Pyramid budget over the full cache (kv_utils.py:237-280).
         min_num = (P + W - r) // 2
         max_num = (P + W - r) * 2 - min_num
         steps = (max_num - min_num) // num_layers
@@ -210,21 +197,183 @@ def decode_schedule(
         raise ValueError(f"unknown decoding metric {metric!r}")
 
     keep_cap = min(caps.keep_cap, caps.capacity)
-    # Never keep more than the scored region holds, nor overflow capacity.
     region_len = length - r - pseg
     n_keep = jnp.clip(n_keep, 0, jnp.maximum(region_len, 0))
     n_keep = jnp.minimum(n_keep, keep_cap)
     n_keep = jnp.minimum(n_keep, caps.capacity - r - pseg)
+    return row_gate, n_keep, pseg, positional, state
 
+
+def block_width(comp: CompressionConfig, caps: DecodeCaps) -> int:
+    """Static width of the rewritten region [pseg, pseg + blkW)."""
+    return min(caps.keep_cap + comp.decoding_recent_size, caps.capacity)
+
+
+def block_map(comp, caps, probs, length, pseg, n_keep, row_gate,
+              positional):
+    """Src map restricted to the rewritten block [pseg, pseg+blkW).
+
+    Returns (src_blk [B, H, blkW] absolute slot indices, new_len [B]).
+    Rows/slots not rewritten map to themselves, so the caller can apply
+    the gather+scatter unconditionally — the expensive top-k stays behind
+    the caller's lax.cond while the cache rewrite never carries the full
+    stacked buffer through a conditional (XLA copies cond operands)."""
+    B, H, S = probs.shape
+    r = comp.decoding_recent_size
+    keep_cap = min(caps.keep_cap, caps.capacity)
+    blkW = block_width(comp, caps)
+    d = jnp.arange(blkW, dtype=jnp.int32)
+    pseg_b = pseg[:, None, None]
+    len_b = length[:, None, None]
+    # Scores over [pseg, length - r).
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    score_region = ((s_idx[None, None, :] >= pseg_b)
+                    & (s_idx[None, None, :] < len_b - r))
+    if positional:
+        sc = jnp.where(score_region,
+                       -s_idx[None, None, :].astype(jnp.float32), NEG_INF)
+        sc = jnp.broadcast_to(sc, (B, H, S))
+    else:
+        sc = jnp.where(score_region, probs, NEG_INF)
+    topk_idx = lax.top_k(sc, keep_cap)[1]
+
+    nk = n_keep[:, None, None]
+    in_keep = d[None, None, :] < nk
+    in_rec = (d[None, None, :] >= nk) & (d[None, None, :] < nk + r)
+    keep_pos = jnp.clip(d, 0, keep_cap - 1)
+    src_keep = jnp.take_along_axis(
+        topk_idx, jnp.broadcast_to(keep_pos, (B, H, blkW)), axis=-1)
+    src_rec = (len_b - r) + (d[None, None, :] - nk)
+    src_id = pseg_b + d[None, None, :]
+    src = jnp.where(in_keep, src_keep,
+                    jnp.where(in_rec, src_rec, src_id))
+    src = jnp.where(row_gate[:, None, None], src, src_id)
+    new_len = jnp.where(row_gate, pseg + n_keep + r, length)
+    return src.astype(jnp.int32), new_len
+
+
+def identity_block_map(comp, caps, length, pseg, num_heads: int):
+    """The hold-branch counterpart of :func:`block_map`."""
+    B = length.shape[0]
+    blkW = block_width(comp, caps)
+    d = jnp.arange(blkW, dtype=jnp.int32)
+    src = jnp.broadcast_to(pseg[:, None, None] + d[None, None, :],
+                           (B, num_heads, blkW)).astype(jnp.int32)
+    return src, length
+
+
+def block_rewrite_cond(comp, caps, probs, ck_l, cv_l, length, pseg,
+                       n_keep, row_gate, positional, num_heads: int):
+    """Conditional block rewrite with a cheap hold path.
+
+    Returns (kblk, vblk, new_len) where kblk/vblk are the [B, H, blkW, D]
+    contents of the region [pseg, pseg+blkW) after this step.  The
+    expensive top-k + gather only run when a row fires; the hold branch is
+    a contiguous dynamic_slice.  Crucially the lax.cond only RETURNS the
+    small block — returning the cache itself forces XLA to allocate (copy)
+    fresh full-size output buffers every step (~20ms at 1B scale).
+    """
+    B, H, cap, D = ck_l.shape
+    blkW = block_width(comp, caps)
+    start = (0, 0, pseg[0], 0)
+
+    def fire_branch(_):
+        src_blk, new_len = block_map(comp, caps, probs, length, pseg,
+                                     n_keep, row_gate, positional)
+        src = jnp.broadcast_to(src_blk, (B, H, blkW))
+        src_c = jnp.clip(src, 0, cap - 1)[..., None]
+        return (jnp.take_along_axis(ck_l, src_c, axis=2),
+                jnp.take_along_axis(cv_l, src_c, axis=2),
+                jnp.where(row_gate, pseg + n_keep
+                          + comp.decoding_recent_size, length))
+
+    def hold_branch(_):
+        if B == 1:
+            return (lax.dynamic_slice(ck_l, start, (B, H, blkW, D)),
+                    lax.dynamic_slice(cv_l, start, (B, H, blkW, D)),
+                    length)
+        # Per-row pseg (e.g. allkv batches): slice each row at its own
+        # offset so the caller's per-row write-back round-trips.
+        ks = [lax.dynamic_slice(ck_l, (b, 0, pseg[b], 0), (1, H, blkW, D))
+              for b in range(B)]
+        vs = [lax.dynamic_slice(cv_l, (b, 0, pseg[b], 0), (1, H, blkW, D))
+              for b in range(B)]
+        return (jnp.concatenate(ks, 0), jnp.concatenate(vs, 0), length)
+
+    return lax.cond(jnp.any(row_gate), fire_branch, hold_branch, None)
+
+
+def apply_block_rewrite(ck_all, cv_all, l: int, src_blk, pseg,
+                        num_heads: int, uniform_pseg: bool = True):
+    """Gather the block by absolute src indices and write it back at
+    [pseg, pseg+blkW) in the stacked layer l.
+
+    The destination is contiguous, so for B==1 (or a batch-uniform pseg)
+    this is ONE dynamic_update_slice — a general XLA scatter here costs
+    >20ms/step on TPU.  Capacity derivation guarantees
+    pseg + blkW <= capacity (no start-index clamping)."""
+    B = src_blk.shape[0]
+    blkW = src_blk.shape[-1]
+    H = num_heads
+    cap = ck_all.shape[3]
+    src = jnp.broadcast_to(src_blk, (B, H, blkW))
+    src_c = jnp.clip(src, 0, cap - 1)[..., None]
+    kblk = jnp.take_along_axis(ck_all[l], src_c, axis=2)
+    vblk = jnp.take_along_axis(cv_all[l], src_c, axis=2)
+    if B == 1 or uniform_pseg:
+        start = (l, 0, 0, pseg[0], 0)
+        ck_all = lax.dynamic_update_slice(ck_all, kblk[None], start)
+        cv_all = lax.dynamic_update_slice(cv_all, vblk[None], start)
+        return ck_all, cv_all
+    dest = jnp.broadcast_to(
+        pseg[:, None, None] + jnp.arange(blkW)[None, None, :], (B, H, blkW))
+    b_ix = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, H, blkW))
+    h_ix = jnp.broadcast_to(jnp.arange(H)[None, :, None], (B, H, blkW))
+    ck_all = ck_all.at[l, b_ix, h_ix, dest, :].set(kblk, mode="drop")
+    cv_all = cv_all.at[l, b_ix, h_ix, dest, :].set(vblk, mode="drop")
+    return ck_all, cv_all
+
+
+def compress_layer(comp, caps, probs, ck, cv, length, row_gate, n_keep,
+                   pseg, positional):
+    """The gather rewrite for one layer (call under lax.cond).
+
+    ck/cv: [B, H, S, D]; probs: [B, H, S].  Returns (ck', cv', length')."""
+    r = comp.decoding_recent_size
+    keep_cap = min(caps.keep_cap, caps.capacity)
+    src, new_len = _keep_map(probs, length, pseg, r, n_keep, keep_cap,
+                             caps.capacity, row_gate, positional=positional)
+    ck2, cv2 = _rewrite(ck, cv, src)
+    return ck2, cv2, new_len
+
+
+def decode_schedule(
+    comp: CompressionConfig,
+    caps: DecodeCaps,
+    state: SchedState,
+    cache_k: jnp.ndarray,       # [B, H, S_max, D] (token already appended)
+    cache_v: jnp.ndarray,
+    length: jnp.ndarray,        # [B] int32, includes the appended token
+    probs: jnp.ndarray,         # [B, H, S_max] f32 this step's attn probs
+    prompt_len: jnp.ndarray,    # [B] int32 recorded true prompt length
+    layer_idx: jnp.ndarray,
+    num_layers: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, SchedState]:
+    """One reference ``update_kv_in_decoding`` call for one layer.
+
+    Thin composition of :func:`schedule_decision` + :func:`compress_layer`
+    (the model inlines these two for the stacked-buffer fast path)."""
+    if comp.decoding_metric == "none":
+        return cache_k, cache_v, length, state
+
+    row_gate, n_keep, pseg, positional, state = schedule_decision(
+        comp, caps, state, length, prompt_len, layer_idx, num_layers)
     do = jnp.any(row_gate)
 
     def compress(args):
         ck, cv, ln = args
-        src, new_len = _keep_map(probs, ln, pseg, r, n_keep, keep_cap,
-                                 caps.capacity, row_gate,
-                                 positional=positional)
-        ck2, cv2 = _rewrite(ck, cv, src)
-        return ck2, cv2, new_len
+        return compress_layer(comp, caps, probs, ck, cv, ln, row_gate,
+                              n_keep, pseg, positional)
 
     def identity(args):
         return args

@@ -148,6 +148,19 @@ class EngineConfig:
     dtype: str = "bfloat16"
     # Upcast attention logits/softmax to f32 (reference: kv_utils.py:656).
     softmax_f32: bool = True
+    # Prefill attention backend: "auto" (pallas on TPU, xla elsewhere),
+    # "xla", "pallas", "pallas_interpret".
+    attn_backend: str = "auto"
+
+    def resolve_attn_backend(self) -> str:
+        if self.attn_backend != "auto":
+            return self.attn_backend
+        import jax
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        return "pallas" if platform == "tpu" else "xla"
 
     def cache_capacity(self, comp: CompressionConfig) -> int:
         """Physical slot capacity S_max of the per-layer KV buffer.

@@ -149,7 +149,8 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
             window_size=comp.window_size,
             need_colsum_all=need_all, need_colsum_window=need_win,
             sliding_window=spec.sliding_window,
-            softmax_f32=ecfg.softmax_f32)
+            softmax_f32=ecfg.softmax_f32,
+            backend=ecfg.resolve_attn_backend())
         out = out.transpose(0, 2, 1, 3).reshape(B, S, Hq * D)
         x = x + jnp.dot(out, p["wo"])
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
@@ -202,11 +203,21 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 cache: KVCache, state: SchedState
                 ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
     """One decode step.  token: [B] int32 (the token being fed); vpos: [B]
-    its virtual position (true_len + step).  Returns next-token logits."""
+    its virtual position (true_len + step).  Returns next-token logits.
+
+    The layer loop is python-unrolled and the cache is updated IN PLACE on
+    the stacked [L, ...] buffers (static layer index appends; the gather
+    rewrite only touches the stacked buffer when a scheduler actually
+    fires).  A lax.scan formulation slices each layer's 2x~100MB cache in
+    and out every step — measured ~5GB/step of pure copy traffic on TPU.
+    """
+    from scope_tpu.compression.schedulers import (compress_layer,
+                                                  schedule_decision)
     st = derive_statics(spec, comp, ecfg)
     B = token.shape[0]
     L = spec.num_layers
     Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    Hc = st.cache_heads
     G = spec.num_kv_groups
     dtype = jnp.dtype(ecfg.dtype)
 
@@ -217,8 +228,13 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     lp = params["layers"]
     quest = comp.method == "quest"
 
-    def layer(x, cache_l, state, p, layer_idx):
-        ck, cv, length, pvalid, pmin, pmax = cache_l
+    ck_all, cv_all = cache.k, cache.v
+    len_all, pv_all = cache.length, cache.pvalid
+    b_idx = jnp.arange(B)[:, None]
+    h_idx = jnp.arange(Hc)[None, :]
+
+    for l in range(L):
+        p = {name: arr[l] for name, arr in lp.items()}
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
         q = jnp.dot(h, p["wq"]).reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
         k = jnp.dot(h, p["wk"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
@@ -229,51 +245,79 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
             k = repeat_kv(k, G)
             v = repeat_kv(v, G)
 
-        ck, cv, length = append_token(ck, cv, k, v, length)
+        # In-place append at (l, b, :, length[b], :) on the stacked buffer.
+        # B==1 fast path: one dynamic_update_slice (a general scatter is
+        # slow on TPU); multi-row batches fall back to scatter.
+        length = len_all[l]
+        if B == 1:
+            start = (l, 0, 0, length[0], 0)
+            ck_all = lax.dynamic_update_slice(ck_all, k[None], start)
+            cv_all = lax.dynamic_update_slice(cv_all, v[None], start)
+        else:
+            ck_all = ck_all.at[l, b_idx, h_idx, length[:, None], :].set(
+                k[:, :, 0, :])
+            cv_all = cv_all.at[l, b_idx, h_idx, length[:, None], :].set(
+                v[:, :, 0, :])
+        length = length + 1
+        len_all = len_all.at[l].set(length)
+
+        pvalid = pv_all[l]
         mask = slot_mask(length, pvalid, cache.prefill_gap, st.capacity)
+        if (spec.sliding_window is not None
+                and comp.method in ("fullkv", "allkv")):
+            # Mistral sliding window during decode; only meaningful while
+            # slot index == token position (see models/mistral.py).
+            idx = jnp.arange(st.capacity)
+            mask = mask & (idx[None, None, :]
+                           > (vpos[:, None, None] - spec.sliding_window))
 
         if quest:
-            from scope_tpu.compression.quest import quest_decode_layer
-            out, ck, cv, length, new_state = quest_decode_layer(
-                comp, st.caps, state, q, ck, cv, length, cache.prompt_len,
-                pmin, pmax, layer_idx, L,
+            from scope_tpu.compression.quest import quest_decode_stacked
+            out, ck_all, cv_all, len_all, state = quest_decode_stacked(
+                comp, st.caps, state, q, ck_all, cv_all, len_all, l,
+                cache.prompt_len, cache.page_min, cache.page_max, L,
                 dec_cap=ecfg.max_new_tokens + 1,
                 softmax_f32=ecfg.softmax_f32,
                 groups=1 if comp.evict_per_qhead else G)
         else:
             if comp.evict_per_qhead:
-                out, probs = decode_attention(q, ck, cv, mask,
+                out, probs = decode_attention(q, ck_all[l], cv_all[l], mask,
                                               softmax_f32=ecfg.softmax_f32)
             else:
                 out, probs = _grouped_decode_attention(
-                    q, ck, cv, mask, G, softmax_f32=ecfg.softmax_f32)
-            ck, cv, length, new_state = decode_schedule(
-                comp, st.caps, state, ck, cv, length, probs,
-                cache.prompt_len, layer_idx, L)
+                    q, ck_all[l], cv_all[l], mask, G,
+                    softmax_f32=ecfg.softmax_f32)
+            if comp.decoding_metric != "none":
+                from scope_tpu.compression.schedulers import (
+                    block_rewrite_cond, block_width)
+                row_gate, n_keep, pseg, positional, state = \
+                    schedule_decision(comp, st.caps, state, length,
+                                      cache.prompt_len, jnp.int32(l), L)
+                kblk, vblk, new_len = block_rewrite_cond(
+                    comp, st.caps, probs, ck_all[l], cv_all[l], length,
+                    pseg, n_keep, row_gate, positional, Hc)
+                if B == 1 or comp.method not in ("allkv", "quest"):
+                    # pseg is batch-uniform: one contiguous write.
+                    start = (l, 0, 0, pseg[0], 0)
+                    ck_all = lax.dynamic_update_slice(ck_all, kblk[None],
+                                                      start)
+                    cv_all = lax.dynamic_update_slice(cv_all, vblk[None],
+                                                      start)
+                else:
+                    for b in range(B):   # per-row offsets (allkv batches)
+                        sb = (l, b, 0, pseg[b], 0)
+                        ck_all = lax.dynamic_update_slice(
+                            ck_all, kblk[b][None, None], sb)
+                        cv_all = lax.dynamic_update_slice(
+                            cv_all, vblk[b][None, None], sb)
+                len_all = len_all.at[l].set(new_len)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
         x = x + jnp.dot(out, p["wo"])
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
         x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
-        return x, (ck, cv, length, pvalid), new_state
 
-    dummy_pages = (jnp.zeros((L, 1)),) * 2
-    pmin_all = cache.page_min if quest else dummy_pages[0]
-    pmax_all = cache.page_max if quest else dummy_pages[1]
-
-    def body(carry, xs):
-        x, state = carry
-        p, ck, cv, length, pvalid, pmin, pmax, layer_idx = xs
-        x, cache_l, state = layer(x, (ck, cv, length, pvalid, pmin, pmax),
-                                  state, p, layer_idx)
-        return (x, state), cache_l
-
-    (x, state), (cks, cvs, lens, pvalids) = lax.scan(
-        body, (x, state),
-        (lp, cache.k, cache.v, cache.length, cache.pvalid,
-         pmin_all, pmax_all, jnp.arange(L)))
-
-    cache = cache.replace(k=cks, v=cvs, length=lens, pvalid=pvalids)
+    cache = cache.replace(k=ck_all, v=cv_all, length=len_all, pvalid=pv_all)
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     logits = _lm_logits(spec, params, x[:, 0])
     return logits, cache, state

@@ -51,13 +51,35 @@ def prefill_attention(
     sliding_window: Optional[int] = None,
     q_block: int = 256,
     softmax_f32: bool = True,
+    backend: str = "xla",
 ) -> Tuple[jnp.ndarray, PrefillScores]:
     """Causal attention over the full (uncompressed) prompt + score capture.
 
     q, k, v: [B, H, S, D] (roped, GQA-expanded). true_len: [B] int32 count of
     real (non-pad) tokens; prompts are right-padded to S.
+    backend: "xla" (chunked lax.scan), "pallas" (fused TPU kernel), or
+    "pallas_interpret" (kernel in interpreter mode, for CPU tests).
     Returns (out [B, H, S, D], PrefillScores).
     """
+    if backend in ("pallas", "pallas_interpret"):
+        from scope_tpu.ops.pallas.flash_prefill import (colsum_scores,
+                                                        flash_prefill)
+        interp = backend == "pallas_interpret"
+        out, m2, l2 = flash_prefill(
+            q, k, v, true_len, window_size=window_size,
+            need_scores=need_colsum_all, sliding_window=sliding_window,
+            interpret=interp)
+        colsum_all = None
+        if need_colsum_all:
+            colsum_all = colsum_scores(q, k, true_len, m2, l2,
+                                       window_size=window_size,
+                                       interpret=interp)
+        colsum_window = None
+        if need_colsum_window:
+            colsum_window = _window_colsum(q, k, true_len, window_size,
+                                           1.0 / math.sqrt(q.shape[-1]))
+        return out, PrefillScores(colsum_all=colsum_all,
+                                  colsum_window=colsum_window)
     B, H, S, D = q.shape
     scale = 1.0 / math.sqrt(D)
     q_block = min(q_block, S)
