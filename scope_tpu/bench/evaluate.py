@@ -41,18 +41,40 @@ def extract_predicted_choices_csqa(pred: str) -> List[str]:
                       pred)
 
 
+def _native_extract(kind: str, pred: str) -> Optional[List[str]]:
+    """C++ fast path (scope_tpu/native/scorer.cpp); None -> use Python.
+
+    The native extractors are fuzz-tested regex-identical
+    (tests/test_native_scorer.py)."""
+    try:
+        from scope_tpu import native
+    except Exception:
+        return None
+    fn = {"gsm8k": native.extract_gsm8k, "mmlu": native.extract_mmlu,
+          "csqa": native.extract_csqa}[kind]
+    try:
+        return fn(pred)
+    except Exception:
+        return None
+
+
 def compare_answers(pred: str, answers: List[str]) -> float:
     expected = [extract_final_answer(a) for a in answers]
-    predicted = extract_predicted_answers(pred)
+    predicted = _native_extract("gsm8k", pred)
+    if predicted is None:
+        predicted = extract_predicted_answers(pred)
     correct = sum(e == p for e, p in zip(expected, predicted))
     return correct / len(expected) if expected else 0.0
 
 
 def compare_choices(pred: str, answers: List[str], dataset: str) -> float:
-    if dataset == "csqa":
-        predicted = extract_predicted_choices_csqa(pred)
-    else:
-        predicted = extract_predicted_choices(pred)
+    predicted = _native_extract(dataset if dataset == "csqa" else "mmlu",
+                                pred)
+    if predicted is None:
+        if dataset == "csqa":
+            predicted = extract_predicted_choices_csqa(pred)
+        else:
+            predicted = extract_predicted_choices(pred)
     correct = sum(e == p for e, p in zip(answers, predicted))
     return correct / len(answers) if answers else 0.0
 

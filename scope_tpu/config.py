@@ -151,6 +151,11 @@ class EngineConfig:
     # Prefill attention backend: "auto" (pallas on TPU, xla elsewhere),
     # "xla", "pallas", "pallas_interpret".
     attn_backend: str = "auto"
+    # Promise that all batch rows share identical prompt lengths and hence
+    # identical cache lengths/schedules.  Enables the contiguous
+    # (single dynamic_update_slice) cache-write fast path for batch > 1;
+    # per-row paths otherwise.
+    uniform_lengths: bool = False
 
     def resolve_attn_backend(self) -> str:
         if self.attn_backend != "auto":

@@ -249,7 +249,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         # B==1 fast path: one dynamic_update_slice (a general scatter is
         # slow on TPU); multi-row batches fall back to scatter.
         length = len_all[l]
-        if B == 1:
+        if B == 1 or ecfg.uniform_lengths:
             start = (l, 0, 0, length[0], 0)
             ck_all = lax.dynamic_update_slice(ck_all, k[None], start)
             cv_all = lax.dynamic_update_slice(cv_all, v[None], start)
@@ -296,7 +296,8 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 kblk, vblk, new_len = block_rewrite_cond(
                     comp, st.caps, probs, ck_all[l], cv_all[l], length,
                     pseg, n_keep, row_gate, positional, Hc)
-                if B == 1 or comp.method not in ("allkv", "quest"):
+                if (B == 1 or ecfg.uniform_lengths
+                        or comp.method not in ("allkv", "quest")):
                     # pseg is batch-uniform: one contiguous write.
                     start = (l, 0, 0, pseg[0], 0)
                     ck_all = lax.dynamic_update_slice(ck_all, kblk[None],
