@@ -62,8 +62,18 @@ def measure_decode(spec, comp, ecfg, params, prompt_len, steps=64,
 
     tok, tl, cache, state = build_state(spec, comp, ecfg, params,
                                         prompt_len, batch, fake_len)
-    step_fn = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
-                      donate_argnums=(3,))
+    from scope_tpu.compression.host_sched import host_schedulable
+    sched = None
+    if host_schedulable(comp) and comp.decoding_metric != "none":
+        from scope_tpu.engine.host_loop import HostScheduledDecoder
+        dec = HostScheduledDecoder(spec, comp, ecfg)
+        sched = dec.new_scheduler(prompt_len)
+
+        def step_fn(p, t, v, c, st):
+            return dec.step(sched, p, t, v, c, st)
+    else:
+        step_fn = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
+                          donate_argnums=(3,))
 
     s = 0
     t_compile = time.perf_counter()

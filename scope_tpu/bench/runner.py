@@ -99,6 +99,8 @@ def run_dataset(args, spec, params, tokenizer, dataset: str, fout):
         f"{dataset}_{K}_{args.shot_number}shot.jsonl")
     examples = D.load_examples(data_file, dataset, args.model_path or "",
                                args.max_num_examples)
+    if args.skip_examples:
+        examples = examples[args.skip_examples:]
     limit = D.model_max_len(args.model_path or spec.name)
 
     comp = build_compression(args, out_len, dataset)
@@ -164,6 +166,10 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--evict_per_kv_head", action="store_true")
     p.add_argument("--eos_ids", type=int, nargs="*", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="append to an existing result file, skipping "
+                        "already-completed examples")
+    p.add_argument("--skip_examples", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -194,7 +200,16 @@ def main(argv=None):
         os.makedirs(out_dir, exist_ok=True)
         out_path = os.path.join(
             out_dir, f"pre_{method_name}_dec_{args.decoding_metric}.json")
-        with open(out_path, "w") as fout:
+        # Resume: completed examples are preserved (records append per
+        # example; the reference only preserved partial runs by accident —
+        # run_longgenbench.py:272 — with no skip logic).
+        mode = "a" if args.resume and os.path.exists(out_path) else "w"
+        if mode == "a":
+            with open(out_path) as f:
+                done = sum(1 for line in f if line.strip())
+            args.skip_examples = done
+            print(f"resuming {out_path} at example {done}")
+        with open(out_path, mode) as fout:
             run_dataset(args, spec, params, tokenizer, dataset, fout)
         print(f"wrote {out_path}")
 

@@ -89,6 +89,13 @@ class StreamingGenerator:
         self.params = params
         self.eos_ids = set(int(e) for e in eos_ids)
         self._prefill = jax.jit(partial(llama.prefill, spec, comp, ecfg))
+        # Host-orchestrated scheduling when the gates are deterministic:
+        # the hot decode program then carries no compression machinery.
+        from scope_tpu.compression.host_sched import host_schedulable
+        self._host_dec = None
+        if host_schedulable(comp) and comp.decoding_metric != "none":
+            from scope_tpu.engine.host_loop import HostScheduledDecoder
+            self._host_dec = HostScheduledDecoder(spec, comp, ecfg)
         self._decode = jax.jit(partial(llama.decode_step, spec, comp, ecfg))
 
     def generate(self, tokens: np.ndarray, true_len: np.ndarray,
@@ -103,11 +110,17 @@ class StreamingGenerator:
         out = [tok]
         done = tok in self.eos_ids
         s = 0
+        sched = (self._host_dec.new_scheduler(int(true_len[0]))
+                 if self._host_dec is not None else None)
         while not done and len(out) < max_new:
             vpos = tl + s
-            logits, cache, state = self._decode(
-                self.params, jnp.full((1,), tok, jnp.int32), vpos, cache,
-                state)
+            tok_arr = jnp.full((1,), tok, jnp.int32)
+            if sched is not None:
+                logits, cache, state = self._host_dec.step(
+                    sched, self.params, tok_arr, vpos, cache, state)
+            else:
+                logits, cache, state = self._decode(
+                    self.params, tok_arr, vpos, cache, state)
             tok = int(jax.device_get(jnp.argmax(logits, axis=-1))[0])
             timestamps.append(time.perf_counter())
             out.append(tok)

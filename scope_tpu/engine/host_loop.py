@@ -1,0 +1,102 @@
+"""Host-orchestrated decode loop.
+
+The host mirrors the (deterministic) SCOPE gates/counters
+(compression/host_sched.py) and dispatches per step either the
+compression-free hot program or the unconditional-compress program —
+no lax.cond, no top-k, and no conditional buffer traffic in the common
+step.  Token-identical to the device-scheduled path
+(tests/test_host_sched.py).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scope_tpu.compression.host_sched import HostScheduler, host_schedulable
+from scope_tpu.compression.schedulers import static_keep_cap
+from scope_tpu.config import CompressionConfig, EngineConfig, ModelSpec
+from scope_tpu.models import llama
+
+
+class HostScheduledDecoder:
+    def __init__(self, spec: ModelSpec, comp: CompressionConfig,
+                 ecfg: EngineConfig):
+        if not host_schedulable(comp):
+            raise ValueError(
+                f"{comp.method}+{comp.decoding_metric} needs the device "
+                f"scheduler; use decode_step(compress_mode='cond')")
+        self.spec, self.comp, self.ecfg = spec, comp, ecfg
+        self._step_off = jax.jit(
+            partial(llama.decode_step, spec, comp, ecfg,
+                    compress_mode="off"), donate_argnums=(3,))
+        self._step_force = jax.jit(
+            partial(llama.decode_step, spec, comp, ecfg,
+                    compress_mode="force"), donate_argnums=(3,))
+        st = llama.derive_statics(spec, comp, ecfg)
+        self._keep_cap = min(st.caps.keep_cap, st.caps.capacity)
+
+    def new_scheduler(self, prompt_len: int) -> HostScheduler:
+        comp = self.comp
+        if comp.method in ("fullkv", "allkv"):
+            kept = prompt_len
+        else:
+            kept = min(comp.max_capacity_prompt, prompt_len)
+        return HostScheduler(comp, self.spec.num_layers, prompt_len, kept,
+                             self._keep_cap)
+
+    def step(self, sched: HostScheduler, params, tok, vpos, cache, state):
+        plan = sched.plan_step()
+        if plan.fire:
+            n_keep = jnp.full((tok.shape[0],), plan.n_keep, jnp.int32)
+            return self._step_force(params, tok, vpos, cache, state,
+                                    force_n_keep=n_keep)
+        return self._step_off(params, tok, vpos, cache, state)
+
+
+def host_generate(spec: ModelSpec, comp: CompressionConfig,
+                  ecfg: EngineConfig, params, tokens: np.ndarray,
+                  true_len: np.ndarray, max_new: int,
+                  eos_ids: Tuple[int, ...] = ()) -> Tuple[np.ndarray, dict]:
+    """Greedy generation with host scheduling (batch rows must share one
+    prompt length — the host mirrors a single length stream)."""
+    assert len(set(int(t) for t in true_len)) == 1, \
+        "host scheduling assumes uniform prompt lengths"
+    dec = HostScheduledDecoder(spec, comp, ecfg)
+    prefill = jax.jit(partial(llama.prefill, spec, comp, ecfg))
+
+    t0 = time.perf_counter()
+    tokens_j = jnp.asarray(tokens, jnp.int32)
+    tl = jnp.asarray(true_len, jnp.int32)
+    logits, cache, state = prefill(params, tokens_j, tl)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    timestamps = [time.perf_counter()]
+    sched = dec.new_scheduler(int(true_len[0]))
+    eos = set(int(e) for e in eos_ids)
+
+    out = [np.asarray(tok)]
+    done = np.isin(out[0], list(eos)) if eos else np.zeros_like(out[0],
+                                                                bool)
+    s = 0
+    while len(out) < max_new and not done.all():
+        logits, cache, state = dec.step(sched, params, tok, tl + s, cache,
+                                        state)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        arr = np.asarray(tok)
+        timestamps.append(time.perf_counter())
+        out.append(arr)
+        if eos:
+            done |= np.isin(arr, list(eos))
+        s += 1
+    gen = np.stack(out, axis=1)
+    stats = {
+        "ttft_s": timestamps[0] - t0,
+        "tpot_s": [timestamps[i] - (timestamps[i - 1] if i else t0)
+                   for i in range(len(timestamps))],
+    }
+    return gen, stats

@@ -200,10 +200,20 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
 
 def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 params: Params, token: jnp.ndarray, vpos: jnp.ndarray,
-                cache: KVCache, state: SchedState
+                cache: KVCache, state: SchedState,
+                compress_mode: str = "cond",
+                force_n_keep: Optional[jnp.ndarray] = None
                 ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
     """One decode step.  token: [B] int32 (the token being fed); vpos: [B]
     its virtual position (true_len + step).  Returns next-token logits.
+
+    compress_mode (static): "cond" = device-side gates via lax.cond (the
+    self-contained path used by generate_scan); "off" = no compression
+    logic at all; "force" = unconditional compression keeping
+    ``force_n_keep`` tokens.  "off"/"force" implement host-orchestrated
+    scheduling (compression/host_sched.py) — the gates are deterministic,
+    so the host dispatches the right program and the hot step carries no
+    conditional machinery.
 
     The layer loop is python-unrolled and the cache is updated IN PLACE on
     the stacked [L, ...] buffers (static layer index appends; the gather
@@ -287,7 +297,29 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 out, probs = _grouped_decode_attention(
                     q, ck_all[l], cv_all[l], mask, G,
                     softmax_f32=ecfg.softmax_f32)
-            if comp.decoding_metric != "none":
+            if comp.decoding_metric != "none" and compress_mode == "force":
+                from scope_tpu.compression.schedulers import (block_map,
+                                                              block_width)
+                if comp.method in ("allkv", "fullkv"):
+                    pseg = cache.prompt_len
+                else:
+                    pseg = jnp.full((B,), comp.max_capacity_prompt,
+                                    jnp.int32)
+                row_gate = jnp.ones((B,), bool)
+                src_blk, new_len = block_map(
+                    comp, st.caps, probs, length, pseg, force_n_keep,
+                    row_gate, False)
+                blkW = block_width(comp, st.caps)
+                srcc = jnp.clip(jnp.broadcast_to(src_blk, (B, Hc, blkW)),
+                                0, st.capacity - 1)[..., None]
+                kblk = jnp.take_along_axis(ck_all[l], srcc, axis=2)
+                vblk = jnp.take_along_axis(cv_all[l], srcc, axis=2)
+                start = (l, 0, 0, pseg[0], 0)
+                ck_all = lax.dynamic_update_slice(ck_all, kblk[None], start)
+                cv_all = lax.dynamic_update_slice(cv_all, vblk[None], start)
+                len_all = len_all.at[l].set(new_len)
+            elif (comp.decoding_metric != "none"
+                    and compress_mode == "cond"):
                 from scope_tpu.compression.schedulers import (
                     block_rewrite_cond, block_width)
                 row_gate, n_keep, pseg, positional, state = \

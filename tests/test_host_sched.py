@@ -1,0 +1,102 @@
+"""Host-orchestrated scheduling must be token-identical to the
+device-scheduler (lax.cond) path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scope_tpu.compression.host_sched import HostScheduler, host_schedulable
+from scope_tpu.config import CompressionConfig, EngineConfig
+from scope_tpu.engine.host_loop import HostScheduledDecoder, host_generate
+from scope_tpu.models import llama
+from scope_tpu.models.registry import TINY_LLAMA
+
+ECFG = EngineConfig(max_prompt_len=128, max_new_tokens=48, dtype="float32")
+STEPS = 40
+
+
+def device_path(comp, params, toks, tl, steps):
+    logits, cache, state = llama.prefill(TINY_LLAMA, comp, ECFG, params,
+                                         toks, tl)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    seq = [np.asarray(tok)]
+    for s in range(steps):
+        logits, cache, state = llama.decode_step(
+            TINY_LLAMA, comp, ECFG, params, tok, tl + s, cache, state)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq.append(np.asarray(tok))
+    return np.stack(seq, 1), cache
+
+
+def host_path(comp, params, toks, tl, steps):
+    dec = HostScheduledDecoder(TINY_LLAMA, comp, ECFG)
+    # jit so cache.prompt_len is a fresh buffer — the decoder donates the
+    # cache, and an unjitted prefill would alias prompt_len to `tl`.
+    logits, cache, state = jax.jit(
+        lambda p, t, l: llama.prefill(TINY_LLAMA, comp, ECFG, p, t, l)
+    )(params, toks, tl)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    sched = dec.new_scheduler(int(tl[0]))
+    seq = [np.asarray(tok)]
+    for s in range(steps):
+        logits, cache, state = dec.step(sched, params, tok, tl + s, cache,
+                                        state)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq.append(np.asarray(tok))
+    return np.stack(seq, 1), cache, sched
+
+
+@pytest.mark.parametrize("method,metric", [
+    ("h2o", "fixed"),
+    ("h2o", "linear"),
+    ("h2o", "jump"),
+    ("snapkv", "jump"),
+    ("allkv", "fixed"),
+    ("streamingllm", "linear"),
+])
+def test_host_equals_device(method, metric):
+    comp = CompressionConfig(
+        method=method, decoding_metric=metric, max_capacity_prompt=64,
+        window_size=32 if method == "streamingllm" else 8,
+        decoding_window_size=32, decoding_recent_size=16, delta=3)
+    assert host_schedulable(comp)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+
+    dev_seq, dev_cache = device_path(comp, params, toks, tl, STEPS)
+    host_seq, host_cache, sched = host_path(comp, params, toks, tl, STEPS)
+
+    np.testing.assert_array_equal(dev_seq, host_seq)
+    np.testing.assert_array_equal(np.asarray(dev_cache.length),
+                                  np.asarray(host_cache.length))
+    # The host's length mirror tracks the device bookkeeping exactly.
+    assert sched.length == int(host_cache.length[0, 0])
+
+
+def test_host_generate_end_to_end():
+    comp = CompressionConfig(method="h2o", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(1), jnp.float32)
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 512, (2, 128)).astype(np.int32)
+    tl = np.full((2,), 100, np.int32)
+    gen, stats = host_generate(TINY_LLAMA, comp, ECFG, params, toks, tl,
+                               16, eos_ids=())
+    assert gen.shape == (2, 16)
+    assert len(stats["tpot_s"]) == 16
+
+
+def test_not_host_schedulable():
+    comp = CompressionConfig(method="pyramidkv", decoding_metric="fixed",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    assert not host_schedulable(comp)
+    with pytest.raises(ValueError):
+        HostScheduledDecoder(TINY_LLAMA, comp, ECFG)
