@@ -1,0 +1,165 @@
+"""Continuous-batching serving engine.
+
+The reference runs requests one at a time (eval_batch_size=1,
+run_longgenbench.py:296).  This engine keeps a fixed pool of decode slots
+busy: the native slot scheduler (scope_tpu/native/scheduler.cpp) owns
+admission/lifecycle, new requests are prefetched into free slots between
+decode steps (prefill writes one batch row of the shared cache), and all
+active slots decode together in one jitted step.
+
+Compression: per-row gates make `none` and `fixed` correct per request
+(each row fires on its own length, kv_utils.py:701-730).  linear/jump use
+globally-shared step counters in the reference — meaningless across
+requests at different phases — so they are rejected here; use the
+dedicated generators for single-stream linear/jump runs.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from scope_tpu.compression.schedulers import SchedState
+from scope_tpu.config import CompressionConfig, EngineConfig, ModelSpec
+from scope_tpu.models import llama
+from scope_tpu.native import SlotScheduler
+
+
+@dataclass
+class _SlotState:
+    request_id: int = -1
+    prompt_len: int = 0
+    max_new: int = 0
+    tokens: List[int] = field(default_factory=list)
+    active: bool = False
+
+
+class ServingEngine:
+    def __init__(self, spec: ModelSpec, comp: CompressionConfig,
+                 ecfg: EngineConfig, params, max_slots: int = 4,
+                 eos_ids: Tuple[int, ...] = (),
+                 token_budget: Optional[int] = None):
+        if comp.decoding_metric not in ("none", "fixed"):
+            raise ValueError(
+                "serving supports per-request metrics none/fixed; "
+                "linear/jump counters are stream-global in the reference "
+                "semantics and cannot be shared across requests")
+        self.spec, self.comp, self.ecfg = spec, comp, ecfg
+        self.params = params
+        self.max_slots = max_slots
+        self.eos_ids = set(int(e) for e in eos_ids)
+        self.sched = SlotScheduler(
+            max_slots,
+            token_budget or max_slots * (ecfg.max_prompt_len
+                                         + ecfg.max_new_tokens))
+        self._prefill = jax.jit(partial(llama.prefill, spec, comp, ecfg))
+        self._decode = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
+                               donate_argnums=(3,))
+
+        st = llama.derive_statics(spec, comp, ecfg)
+        from scope_tpu.cache import init_cache
+        self.cache = init_cache(spec.num_layers, max_slots, st.cache_heads,
+                                st.capacity, spec.head_dim,
+                                jnp.dtype(ecfg.dtype))
+        self.state = SchedState.init()
+        self.slots = [_SlotState() for _ in range(max_slots)]
+        self.cur_tok = np.zeros(max_slots, np.int64)
+        self.vpos = np.zeros(max_slots, np.int64)
+        self._pending_prompts: Dict[int, np.ndarray] = {}
+        self.results: Dict[int, List[int]] = {}
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt_ids: np.ndarray, max_new: int) -> int:
+        rid = self.sched.submit(len(prompt_ids), max_new)
+        if rid < 0:
+            raise RuntimeError("scheduler queue full")
+        self._pending_prompts[rid] = np.asarray(prompt_ids, np.int32)
+        return rid
+
+    # ------------------------------------------------------------------
+    def _insert_row(self, slot: int, row_cache, tok0: int,
+                    prompt_len: int):
+        c, r = self.cache, row_cache
+
+        def put(dst, src):
+            idx = (0, slot) + (0,) * (dst.ndim - 2)
+            return lax.dynamic_update_slice(dst, src, idx)
+
+        self.cache = c.replace(
+            k=put(c.k, r.k), v=put(c.v, r.v),
+            length=c.length.at[:, slot].set(r.length[:, 0]),
+            pvalid=c.pvalid.at[:, slot].set(r.pvalid[:, 0]),
+            prompt_len=c.prompt_len.at[slot].set(prompt_len),
+        )
+        self.cur_tok[slot] = tok0
+        self.vpos[slot] = prompt_len
+
+    def _admit(self):
+        admitted = False
+        while True:
+            adm = self.sched.admit()
+            if adm is None:
+                return admitted
+            slot, rid, prompt_len, max_new = adm
+            ids = self._pending_prompts.pop(rid)
+            bucket = self.ecfg.bucket_for(len(ids))
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :len(ids)] = ids
+            logits, row_cache, _ = self._prefill(
+                self.params, jnp.asarray(toks),
+                jnp.full((1,), len(ids), jnp.int32))
+            tok0 = int(jax.device_get(jnp.argmax(logits, -1))[0])
+            self._insert_row(slot, row_cache, tok0, len(ids))
+            s = self.slots[slot]
+            s.request_id, s.prompt_len, s.max_new = rid, prompt_len, max_new
+            s.tokens = [tok0]
+            s.active = True
+            if tok0 in self.eos_ids or max_new <= 1:
+                self._finish(slot)
+            admitted = True
+
+    def _finish(self, slot: int):
+        s = self.slots[slot]
+        self.results[s.request_id] = list(s.tokens)
+        self.sched.finish(slot)
+        s.active = False
+        s.request_id = -1
+
+    # ------------------------------------------------------------------
+    def step(self):
+        """Admit what fits, then run one batched decode step."""
+        self._admit()
+        if not any(s.active for s in self.slots):
+            return False
+        logits, self.cache, self.state = self._decode(
+            self.params, jnp.asarray(self.cur_tok, jnp.int32),
+            jnp.asarray(self.vpos, jnp.int32), self.cache, self.state)
+        nxt = np.asarray(jax.device_get(jnp.argmax(logits, -1)))
+        for slot, s in enumerate(self.slots):
+            if not s.active:
+                continue
+            tok = int(nxt[slot])
+            s.tokens.append(tok)
+            self.cur_tok[slot] = tok
+            self.vpos[slot] += 1
+            hit_cap = self.sched.step(slot)
+            if tok in self.eos_ids or hit_cap or len(s.tokens) >= s.max_new:
+                self._finish(slot)
+        return True
+
+    def run(self, max_steps: int = 1_000_000) -> Dict[int, List[int]]:
+        """Run until the queue and all slots drain."""
+        steps = 0
+        while steps < max_steps:
+            progressed = self.step()
+            if not progressed and self.sched.queued == 0:
+                break
+            steps += 1
+        return self.results

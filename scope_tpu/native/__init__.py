@@ -16,21 +16,28 @@ from typing import List, Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libscope_scorer.so")
+_SCHED_LIB_PATH = os.path.join(_HERE, "libscope_scheduler.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_sched_lib = None
+_sched_tried = False
 
 
-def _build() -> bool:
-    src = os.path.join(_HERE, "scorer.cpp")
+def _build_lib(src_name: str, out_path: str) -> bool:
+    src = os.path.join(_HERE, src_name)
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src,
-             "-o", _LIB_PATH],
+             "-o", out_path],
             check=True, capture_output=True, timeout=120)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
+
+
+def _build() -> bool:
+    return _build_lib("scorer.cpp", _LIB_PATH)
 
 
 def load_scorer():
@@ -91,3 +98,141 @@ def extract_csqa(pred: str) -> Optional[List[str]]:
     if lib is None:
         return None
     return _call(lib.scope_extract_csqa, pred)
+
+
+def load_scheduler():
+    """Returns the slot-scheduler ctypes library or None."""
+    global _sched_lib, _sched_tried
+    with _lock:
+        if _sched_lib is not None or _sched_tried:
+            return _sched_lib
+        _sched_tried = True
+        if not os.path.exists(_SCHED_LIB_PATH):
+            if not _build_lib("scheduler.cpp", _SCHED_LIB_PATH):
+                return None
+        try:
+            lib = ctypes.CDLL(_SCHED_LIB_PATH)
+        except OSError:
+            return None
+        c = ctypes
+        lib.scope_sched_create.argtypes = [c.c_int32, c.c_int64, c.c_int32]
+        lib.scope_sched_create.restype = c.c_void_p
+        lib.scope_sched_destroy.argtypes = [c.c_void_p]
+        lib.scope_sched_submit.argtypes = [c.c_void_p, c.c_int32, c.c_int32]
+        lib.scope_sched_submit.restype = c.c_int64
+        lib.scope_sched_admit.argtypes = [
+            c.c_void_p, c.POINTER(c.c_int64), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32)]
+        lib.scope_sched_admit.restype = c.c_int32
+        lib.scope_sched_step.argtypes = [c.c_void_p, c.c_int32]
+        lib.scope_sched_step.restype = c.c_int32
+        lib.scope_sched_finish.argtypes = [c.c_void_p, c.c_int32]
+        lib.scope_sched_finish.restype = c.c_int64
+        for name in ("scope_sched_active", "scope_sched_queued"):
+            getattr(lib, name).argtypes = [c.c_void_p]
+            getattr(lib, name).restype = c.c_int32
+        lib.scope_sched_live_tokens.argtypes = [c.c_void_p]
+        lib.scope_sched_live_tokens.restype = c.c_int64
+        lib.scope_sched_slot_id.argtypes = [c.c_void_p, c.c_int32]
+        lib.scope_sched_slot_id.restype = c.c_int64
+        _sched_lib = lib
+        return _sched_lib
+
+
+class SlotScheduler:
+    """Pythonic wrapper over the native continuous-batching scheduler,
+    with a pure-Python fallback when no C++ toolchain exists."""
+
+    def __init__(self, max_slots: int, token_budget: int,
+                 queue_cap: int = 4096):
+        self._lib = load_scheduler()
+        self.max_slots = max_slots
+        if self._lib is not None:
+            self._h = self._lib.scope_sched_create(max_slots, token_budget,
+                                                   queue_cap)
+        else:                               # fallback
+            self._h = None
+            self._budget = token_budget
+            self._queue: List[tuple] = []
+            self._slots: List[Optional[tuple]] = [None] * max_slots
+            self._live = 0
+            self._next = 1
+
+    def submit(self, prompt_len: int, max_new: int) -> int:
+        if self._lib is not None:
+            return int(self._lib.scope_sched_submit(self._h, prompt_len,
+                                                    max_new))
+        rid = self._next
+        self._next += 1
+        self._queue.append((rid, prompt_len, max_new))
+        return rid
+
+    def admit(self):
+        """Returns (slot, request_id, prompt_len, max_new) or None."""
+        if self._lib is not None:
+            rid = ctypes.c_int64()
+            pl = ctypes.c_int32()
+            mn = ctypes.c_int32()
+            slot = self._lib.scope_sched_admit(
+                self._h, ctypes.byref(rid), ctypes.byref(pl),
+                ctypes.byref(mn))
+            if slot < 0:
+                return None
+            return int(slot), int(rid.value), int(pl.value), int(mn.value)
+        if not self._queue:
+            return None
+        rid, pl, mn = self._queue[0]
+        if self._live + pl + mn > self._budget:
+            return None
+        for i, s in enumerate(self._slots):
+            if s is None:
+                self._queue.pop(0)
+                self._slots[i] = (rid, pl, mn, 0)
+                self._live += pl + mn
+                return i, rid, pl, mn
+        return None
+
+    def step(self, slot: int) -> bool:
+        """Count one generated token; True if the slot hit max_new."""
+        if self._lib is not None:
+            return bool(self._lib.scope_sched_step(self._h, slot))
+        s = self._slots[slot]
+        if s is None:
+            return False
+        rid, pl, mn, g = s
+        self._slots[slot] = (rid, pl, mn, g + 1)
+        return g + 1 >= mn
+
+    def finish(self, slot: int) -> int:
+        if self._lib is not None:
+            return int(self._lib.scope_sched_finish(self._h, slot))
+        s = self._slots[slot]
+        if s is None:
+            return -1
+        rid, pl, mn, g = s
+        self._slots[slot] = None
+        self._live -= pl + mn
+        return rid
+
+    @property
+    def active(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.scope_sched_active(self._h))
+        return sum(1 for s in self._slots if s is not None)
+
+    @property
+    def queued(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.scope_sched_queued(self._h))
+        return len(self._queue)
+
+    @property
+    def live_tokens(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.scope_sched_live_tokens(self._h))
+        return self._live
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._h:
+            self._lib.scope_sched_destroy(self._h)
+            self._h = None

@@ -1,0 +1,122 @@
+"""Continuous-batching serving engine tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scope_tpu.config import CompressionConfig, EngineConfig
+from scope_tpu.engine.serving import ServingEngine
+from scope_tpu.models import llama
+from scope_tpu.models.registry import TINY_LLAMA
+from scope_tpu.native import SlotScheduler
+
+ECFG = EngineConfig(max_prompt_len=128, max_new_tokens=32, dtype="float32")
+
+
+# ------------------------- native slot scheduler ---------------------------
+
+def test_slot_scheduler_lifecycle():
+    s = SlotScheduler(max_slots=2, token_budget=1000)
+    r1 = s.submit(100, 10)
+    r2 = s.submit(100, 10)
+    r3 = s.submit(100, 10)
+    assert s.queued == 3 and s.active == 0
+    a1 = s.admit()
+    a2 = s.admit()
+    assert a1[1] == r1 and a2[1] == r2
+    assert s.admit() is None                # no free slot for r3
+    assert s.active == 2 and s.queued == 1
+    assert s.live_tokens == 220
+    # r1 generates to completion.
+    for _ in range(9):
+        assert not s.step(a1[0])
+    assert s.step(a1[0])                    # hits max_new
+    assert s.finish(a1[0]) == r1
+    a3 = s.admit()
+    assert a3 is not None and a3[1] == r3
+
+
+def test_slot_scheduler_token_budget():
+    s = SlotScheduler(max_slots=4, token_budget=250)
+    s.submit(100, 10)
+    s.submit(100, 10)
+    s.submit(100, 10)
+    assert s.admit() is not None
+    assert s.admit() is not None
+    assert s.admit() is None                # 330 > 250 budget
+    assert s.active == 2
+
+
+# ------------------------- serving engine ----------------------------------
+
+def _mk_engine(metric="none", max_slots=3):
+    comp = CompressionConfig(method="h2o", decoding_metric=metric,
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    eng = ServingEngine(TINY_LLAMA, comp, ECFG, params,
+                        max_slots=max_slots, eos_ids=())
+    return eng, comp, params
+
+
+def test_serving_matches_single_stream():
+    """Concurrent requests produce the same tokens as dedicated
+    single-request generation."""
+    eng, comp, params = _mk_engine()
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120, 90)]
+    ids = [eng.submit(p, 8) for p in prompts]
+    results = eng.run()
+    assert set(ids) <= set(results)
+
+    from scope_tpu.engine.generate import generate_scan
+    for p, rid in zip(prompts, ids):
+        bucket = ECFG.bucket_for(len(p))
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :len(p)] = p
+        gen, _ = generate_scan(TINY_LLAMA, comp, ECFG, params,
+                               jnp.asarray(toks),
+                               jnp.array([len(p)], jnp.int32), 8, -1)
+        np.testing.assert_array_equal(np.asarray(gen[0]),
+                                      np.array(results[rid]))
+
+
+def test_serving_with_fixed_compression():
+    """Per-row fixed-metric gates stay correct under continuous batching."""
+    eng, comp, params = _mk_engine(metric="fixed")
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, 512, 100).astype(np.int32)
+               for _ in range(3)]
+    ids = [eng.submit(p, 24) for p in prompts]
+    results = eng.run()
+
+    from scope_tpu.engine.generate import generate_scan
+    for p, rid in zip(prompts, ids):
+        toks = np.zeros((1, 128), np.int32)
+        toks[0, :len(p)] = p
+        gen, _ = generate_scan(TINY_LLAMA, comp, ECFG, params,
+                               jnp.asarray(toks),
+                               jnp.array([len(p)], jnp.int32), 24, -1)
+        np.testing.assert_array_equal(np.asarray(gen[0]),
+                                      np.array(results[rid]))
+
+
+def test_serving_rejects_stream_global_metrics():
+    with pytest.raises(ValueError):
+        _mk_engine(metric="jump")
+
+
+def test_serving_queue_overflow_admits_later():
+    """More requests than slots: all complete via slot reuse."""
+    eng, comp, params = _mk_engine(max_slots=2)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 512, 60 + 7 * i).astype(np.int32)
+               for i in range(5)]
+    ids = [eng.submit(p, 5) for p in prompts]
+    results = eng.run()
+    assert set(ids) <= set(results)
+    assert all(len(results[r]) == 5 for r in ids)
