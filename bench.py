@@ -102,6 +102,29 @@ def measure_decode(spec, comp, ecfg, params, prompt_len, steps=64,
     return batch * steps / dt
 
 
+def _measure_prefill(spec, comp, ecfg, params, prompt_len, reps=3):
+    """TTFT-style prefill latency (fused pallas flash kernel on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from scope_tpu.models import llama
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(1, spec.vocab_size, (1, prompt_len)),
+                       jnp.int32)
+    tl = jnp.full((1,), prompt_len, jnp.int32)
+    fn = jax.jit(partial(llama.prefill, spec, comp, ecfg))
+    logits, _, _ = fn(params, toks, tl)
+    _ = jax.device_get(jnp.argmax(logits, -1))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        logits, _, _ = fn(params, toks, tl)
+        _ = jax.device_get(jnp.argmax(logits, -1))
+    dt = (time.perf_counter() - t0) / reps
+    log(f"[prefill] {prompt_len} tokens ({comp.method}, "
+        f"{ecfg.resolve_attn_backend()}): {dt*1e3:.1f} ms")
+    return dt
+
+
 def run_pair(spec, params, batch, prompt_len=2048):
     import jax.numpy as jnp
     from scope_tpu.config import CompressionConfig, EngineConfig
@@ -117,6 +140,9 @@ def run_pair(spec, params, batch, prompt_len=2048):
     tps_scope = measure_decode(spec, comp_scope, ecfg_scope, params,
                                prompt_len, batch=batch)
     log(f"[batch={batch}] scope decode: {tps_scope:.1f} tok/s")
+
+    if batch == 1:
+        _measure_prefill(spec, comp_scope, ecfg_scope, params, prompt_len)
 
     comp_full = CompressionConfig(method="allkv", decoding_metric="none")
     ecfg_full = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,

@@ -32,10 +32,28 @@ class GenerateResult(NamedTuple):
     tpot_s: List[float]
 
 
-def _sample(logits: jnp.ndarray, greedy: bool, key, temperature: float):
-    if greedy:
+def sample_logits(logits: jnp.ndarray, key=None, temperature: float = 0.0,
+                  top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:
+    """Greedy (temperature<=0) or temperature/top-k/top-p sampling.
+
+    The reference only ever decodes greedily (do_sample=False,
+    run_longgenbench.py:236); sampling is provided for engine completeness.
+    logits: [B, V] -> [B] int32."""
+    if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(key, logits / temperature).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        kth = lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = -jnp.sort(-logits, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        # Keep tokens until cumulative mass exceeds top_p (always >= 1).
+        cutoff_idx = jnp.sum(csum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 6, 8))
