@@ -64,10 +64,12 @@ def measure_decode(spec, comp, ecfg, params, prompt_len, steps=64,
                                         prompt_len, batch, fake_len)
     from scope_tpu.compression.host_sched import host_schedulable
     sched = None
-    if host_schedulable(comp) and comp.decoding_metric != "none":
+    if host_schedulable(comp):
         from scope_tpu.engine.host_loop import HostScheduledDecoder
         dec = HostScheduledDecoder(spec, comp, ecfg)
         sched = dec.new_scheduler(prompt_len)
+        if fake_len is not None:
+            sched.length = fake_len   # mirror the simulated cache length
 
         def step_fn(p, t, v, c, st):
             return dec.step(sched, p, t, v, c, st)

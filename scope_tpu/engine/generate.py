@@ -109,9 +109,10 @@ class StreamingGenerator:
         self._prefill = jax.jit(partial(llama.prefill, spec, comp, ecfg))
         # Host-orchestrated scheduling when the gates are deterministic:
         # the hot decode program then carries no compression machinery.
+        # (metric "none" also benefits: length-bucketed attention.)
         from scope_tpu.compression.host_sched import host_schedulable
         self._host_dec = None
-        if host_schedulable(comp) and comp.decoding_metric != "none":
+        if host_schedulable(comp):
             from scope_tpu.engine.host_loop import HostScheduledDecoder
             self._host_dec = HostScheduledDecoder(spec, comp, ecfg)
         self._decode = jax.jit(partial(llama.decode_step, spec, comp, ecfg))

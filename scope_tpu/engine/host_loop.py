@@ -32,14 +32,39 @@ class HostScheduledDecoder:
                 f"{comp.method}+{comp.decoding_metric} needs the device "
                 f"scheduler; use decode_step(compress_mode='cond')")
         self.spec, self.comp, self.ecfg = spec, comp, ecfg
-        self._step_off = jax.jit(
-            partial(llama.decode_step, spec, comp, ecfg,
-                    compress_mode="off"), donate_argnums=(3,))
+        st = llama.derive_statics(spec, comp, ecfg)
+        self._capacity = st.caps.capacity
+        self._keep_cap = min(st.caps.keep_cap, st.caps.capacity)
+        # Length buckets: hot steps attend over the smallest bucket that
+        # covers the live cache length (free static-slice views), so the
+        # growing-cache methods don't pay full-capacity attention early.
+        buckets, b = [], 512
+        while b < self._capacity:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self._capacity)
+        self._buckets = buckets
+        self._step_fns = {}
+        # Fire steps are rare; they always run at full capacity.
         self._step_force = jax.jit(
             partial(llama.decode_step, spec, comp, ecfg,
                     compress_mode="force"), donate_argnums=(3,))
-        st = llama.derive_statics(spec, comp, ecfg)
-        self._keep_cap = min(st.caps.keep_cap, st.caps.capacity)
+
+    def _step_off(self, bucket: int):
+        fn = self._step_fns.get(bucket)
+        if fn is None:
+            fn = jax.jit(
+                partial(llama.decode_step, self.spec, self.comp, self.ecfg,
+                        compress_mode="off", attn_cap=bucket),
+                donate_argnums=(3,))
+            self._step_fns[bucket] = fn
+        return fn
+
+    def _bucket_for(self, needed: int) -> int:
+        for b in self._buckets:
+            if needed <= b:
+                return b
+        return self._capacity
 
     def new_scheduler(self, prompt_len: int) -> HostScheduler:
         comp = self.comp
@@ -56,7 +81,8 @@ class HostScheduledDecoder:
             n_keep = jnp.full((tok.shape[0],), plan.n_keep, jnp.int32)
             return self._step_force(params, tok, vpos, cache, state,
                                     force_n_keep=n_keep)
-        return self._step_off(params, tok, vpos, cache, state)
+        bucket = self._bucket_for(sched.length)
+        return self._step_off(bucket)(params, tok, vpos, cache, state)
 
 
 def host_generate(spec: ModelSpec, comp: CompressionConfig,

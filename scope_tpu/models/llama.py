@@ -202,7 +202,8 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 params: Params, token: jnp.ndarray, vpos: jnp.ndarray,
                 cache: KVCache, state: SchedState,
                 compress_mode: str = "cond",
-                force_n_keep: Optional[jnp.ndarray] = None
+                force_n_keep: Optional[jnp.ndarray] = None,
+                attn_cap: Optional[int] = None
                 ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
     """One decode step.  token: [B] int32 (the token being fed); vpos: [B]
     its virtual position (true_len + step).  Returns next-token logits.
@@ -224,6 +225,11 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     from scope_tpu.compression.schedulers import (compress_layer,
                                                   schedule_decision)
     st = derive_statics(spec, comp, ecfg)
+    if attn_cap is not None:
+        if attn_cap > st.capacity:
+            attn_cap = st.capacity
+        st = st._replace(caps=st.caps._replace(capacity=attn_cap))
+    cap_eff = attn_cap or st.capacity
     B = token.shape[0]
     L = spec.num_layers
     Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
@@ -272,12 +278,14 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         len_all = len_all.at[l].set(length)
 
         pvalid = pv_all[l]
-        mask = slot_mask(length, pvalid, cache.prefill_gap, st.capacity)
+        ck_v = ck_all[l][:, :, :cap_eff]
+        cv_v = cv_all[l][:, :, :cap_eff]
+        mask = slot_mask(length, pvalid, cache.prefill_gap, cap_eff)
         if (spec.sliding_window is not None
                 and comp.method in ("fullkv", "allkv")):
             # Mistral sliding window during decode; only meaningful while
             # slot index == token position (see models/mistral.py).
-            idx = jnp.arange(st.capacity)
+            idx = jnp.arange(cap_eff)
             mask = mask & (idx[None, None, :]
                            > (vpos[:, None, None] - spec.sliding_window))
 
@@ -291,11 +299,11 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 groups=1 if comp.evict_per_qhead else G)
         else:
             if comp.evict_per_qhead:
-                out, probs = decode_attention(q, ck_all[l], cv_all[l], mask,
+                out, probs = decode_attention(q, ck_v, cv_v, mask,
                                               softmax_f32=ecfg.softmax_f32)
             else:
                 out, probs = _grouped_decode_attention(
-                    q, ck_all[l], cv_all[l], mask, G,
+                    q, ck_v, cv_v, mask, G,
                     softmax_f32=ecfg.softmax_f32)
             if comp.decoding_metric != "none" and compress_mode == "force":
                 from scope_tpu.compression.schedulers import (block_map,
@@ -311,9 +319,9 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     row_gate, False)
                 blkW = block_width(comp, st.caps)
                 srcc = jnp.clip(jnp.broadcast_to(src_blk, (B, Hc, blkW)),
-                                0, st.capacity - 1)[..., None]
-                kblk = jnp.take_along_axis(ck_all[l], srcc, axis=2)
-                vblk = jnp.take_along_axis(cv_all[l], srcc, axis=2)
+                                0, cap_eff - 1)[..., None]
+                kblk = jnp.take_along_axis(ck_v, srcc, axis=2)
+                vblk = jnp.take_along_axis(cv_v, srcc, axis=2)
                 start = (l, 0, 0, pseg[0], 0)
                 ck_all = lax.dynamic_update_slice(ck_all, kblk[None], start)
                 cv_all = lax.dynamic_update_slice(cv_all, vblk[None], start)
@@ -326,7 +334,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     schedule_decision(comp, st.caps, state, length,
                                       cache.prompt_len, jnp.int32(l), L)
                 kblk, vblk, new_len = block_rewrite_cond(
-                    comp, st.caps, probs, ck_all[l], cv_all[l], length,
+                    comp, st.caps, probs, ck_v, cv_v, length,
                     pseg, n_keep, row_gate, positional, Hc)
                 if (B == 1 or ecfg.uniform_lengths
                         or comp.method not in ("allkv", "quest")):
