@@ -151,6 +151,12 @@ class EngineConfig:
     # Prefill attention backend: "auto" (pallas on TPU, xla elsewhere),
     # "xla", "pallas", "pallas_interpret".
     attn_backend: str = "auto"
+    # Use the fused pallas decode-attention kernel (experimental: the
+    # current single-block version underperforms XLA's einsum path — its
+    # whole-stripe blocks defeat DMA/compute overlap; needs chunked
+    # online-softmax pipelining).  The XLA decode path is near roofline
+    # at large caches, so this stays off by default.
+    fused_decode_attention: bool = False
     # Promise that all batch rows share identical prompt lengths and hence
     # identical cache lengths/schedules.  Enables the contiguous
     # (single dynamic_update_slice) cache-write fast path for batch > 1;

@@ -280,14 +280,22 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         pvalid = pv_all[l]
         ck_v = ck_all[l][:, :, :cap_eff]
         cv_v = cv_all[l][:, :, :cap_eff]
-        mask = slot_mask(length, pvalid, cache.prefill_gap, cap_eff)
-        if (spec.sliding_window is not None
-                and comp.method in ("fullkv", "allkv")):
-            # Mistral sliding window during decode; only meaningful while
-            # slot index == token position (see models/mistral.py).
-            idx = jnp.arange(cap_eff)
-            mask = mask & (idx[None, None, :]
-                           > (vpos[:, None, None] - spec.sliding_window))
+        win = (spec.sliding_window
+               if (spec.sliding_window is not None
+                   and comp.method in ("fullkv", "allkv")) else 0)
+        backend = ecfg.resolve_attn_backend()
+        from scope_tpu.ops.pallas.decode_attn import max_fused_cap
+        use_fused = (ecfg.fused_decode_attention
+                     and backend in ("pallas", "pallas_interpret")
+                     and not quest and cap_eff <= max_fused_cap(D))
+        if not use_fused:
+            mask = slot_mask(length, pvalid, cache.prefill_gap, cap_eff)
+            if win:
+                # Mistral sliding window; only meaningful while slot index
+                # == token position (see models/mistral.py).
+                idx = jnp.arange(cap_eff)
+                mask = mask & (idx[None, None, :]
+                               > (vpos[:, None, None] - win))
 
         if quest:
             from scope_tpu.compression.quest import quest_decode_stacked
@@ -298,7 +306,18 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 softmax_f32=ecfg.softmax_f32,
                 groups=1 if comp.evict_per_qhead else G)
         else:
-            if comp.evict_per_qhead:
+            if use_fused:
+                from scope_tpu.ops.pallas.decode_attn import \
+                    fused_decode_attention
+                R = 1 if comp.evict_per_qhead else G
+                qg = q.reshape(B, Hc, R, D)
+                out, pr = fused_decode_attention(
+                    qg, ck_v, cv_v, length, pvalid,
+                    prefill_gap=cache.prefill_gap, window=win,
+                    interpret=backend == "pallas_interpret")
+                out = out.reshape(B, Hq, 1, D)
+                probs = pr.sum(axis=2)
+            elif comp.evict_per_qhead:
                 out, probs = decode_attention(q, ck_v, cv_v, mask,
                                               softmax_f32=ecfg.softmax_f32)
             else:

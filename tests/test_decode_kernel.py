@@ -1,0 +1,123 @@
+"""Fused decode-attention kernel parity vs the XLA path (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scope_tpu.cache import slot_mask
+from scope_tpu.config import CompressionConfig, EngineConfig
+from scope_tpu.models import llama
+from scope_tpu.models.registry import TINY_LLAMA
+from scope_tpu.ops.attention import decode_attention
+from scope_tpu.ops.pallas.decode_attn import fused_decode_attention
+
+B, H, D = 2, 4, 64
+CAP = 256
+
+
+def make(seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, CAP, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, CAP, D)), jnp.float32)
+    return q, k, v
+
+
+def test_fused_matches_xla():
+    q, k, v = make()
+    length = jnp.asarray([100, 200], jnp.int32)
+    pvalid = jnp.broadcast_to(length[:, None], (B, H))
+    mask = slot_mask(length, pvalid, 0, CAP)
+    out_x, probs_x = decode_attention(q, k, v, mask)
+    out_p, probs_p = fused_decode_attention(q, k, v, length, pvalid,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(probs_p[:, :, 0]),
+                               np.asarray(probs_x), rtol=2e-5, atol=2e-5)
+    # Invalid slots carry zero probability.
+    assert float(np.abs(np.asarray(probs_p)[0, :, 0, 100:]).max()) == 0.0
+
+
+def test_fused_grouped_rows():
+    """R>1 rows per cache head (GQA kv-head mode)."""
+    rng = np.random.default_rng(1)
+    R = 2
+    q = jnp.asarray(rng.standard_normal((B, H, R, D)), jnp.float32)
+    _, k, v = make(1)
+    length = jnp.asarray([128, 256], jnp.int32)
+    pvalid = jnp.broadcast_to(length[:, None], (B, H))
+    out_p, probs_p = fused_decode_attention(q, k, v, length, pvalid,
+                                            interpret=True)
+    # Row-wise check against the single-row XLA path.
+    mask = slot_mask(length, pvalid, 0, CAP)
+    for r in range(R):
+        out_x, probs_x = decode_attention(q[:, :, r:r + 1], k, v, mask)
+        np.testing.assert_allclose(np.asarray(out_p[:, :, r]),
+                                   np.asarray(out_x[:, :, 0]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_headwise_gap_layout():
+    """Per-head pvalid with a reserved prefill segment."""
+    q, k, v = make(2)
+    gap = 128
+    length = jnp.asarray([gap + 20, gap + 40], jnp.int32)
+    rng = np.random.default_rng(3)
+    pvalid = jnp.asarray(rng.integers(16, gap, (B, H)), jnp.int32)
+    mask = slot_mask(length, pvalid, gap, CAP)
+    out_x, probs_x = decode_attention(q, k, v, mask)
+    out_p, probs_p = fused_decode_attention(q, k, v, length, pvalid,
+                                            prefill_gap=gap,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_sliding_window():
+    q, k, v = make(4)
+    length = jnp.asarray([200, 200], jnp.int32)
+    pvalid = jnp.broadcast_to(length[:, None], (B, H))
+    win = 64
+    mask = slot_mask(length, pvalid, 0, CAP)
+    idx = jnp.arange(CAP)
+    vpos = length - 1
+    mask = mask & (idx[None, None, :] > (vpos[:, None, None] - win))
+    out_x, _ = decode_attention(q, k, v, mask)
+    out_p, _ = fused_decode_attention(q, k, v, length, pvalid, window=win,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_model_uses_fused_kernel_identically():
+    """End-to-end: pallas_interpret backend == xla backend tokens."""
+    comp = CompressionConfig(method="h2o", decoding_metric="fixed",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+    seqs = {}
+    for backend in ("xla", "pallas_interpret"):
+        ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=32,
+                            dtype="float32", attn_backend=backend,
+                            fused_decode_attention=True)
+        logits, cache, state = llama.prefill(TINY_LLAMA, comp, ecfg,
+                                             params, toks, tl)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq = [int(tok[0])]
+        for s in range(20):
+            logits, cache, state = llama.decode_step(
+                TINY_LLAMA, comp, ecfg, params, tok, tl + s, cache, state)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            seq.append(int(tok[0]))
+        seqs[backend] = seq
+    assert seqs["xla"] == seqs["pallas_interpret"]
