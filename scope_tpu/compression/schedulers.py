@@ -31,16 +31,29 @@ from scope_tpu.ops.attention import NEG_INF
 
 @flax.struct.dataclass
 class SchedState:
-    """Cross-layer scheduler counters (reference class attributes)."""
+    """Cross-layer scheduler counters (reference class attributes).
+
+    Scalar counters reproduce the reference's single-stream semantics
+    (class attributes shared across layers, kv_utils.py:92-94).  With
+    ``init(batch=B)`` the counters are per-row [B] arrays: each batch row
+    is an independent request stream with its own linear/jump schedule —
+    what continuous-batching serving needs (the reference cannot express
+    this; its counters are global across whatever shares the process)."""
 
     step: jnp.ndarray        # current_decoding_step (per layer-call)
     jump_step: jnp.ndarray
     jump_layer: jnp.ndarray
 
     @staticmethod
-    def init() -> "SchedState":
-        z = jnp.zeros((), jnp.int32)
+    def init(batch: int = 0) -> "SchedState":
+        z = jnp.zeros((batch,) if batch else (), jnp.int32)
         return SchedState(step=z, jump_step=z, jump_layer=z)
+
+    def reset_row(self, row: int) -> "SchedState":
+        """Zero one row's counters (new request admitted to that slot)."""
+        return SchedState(step=self.step.at[row].set(0),
+                          jump_step=self.jump_step.at[row].set(0),
+                          jump_layer=self.jump_layer.at[row].set(0))
 
 
 class DecodeCaps(NamedTuple):
@@ -161,14 +174,18 @@ def schedule_decision(
         row_gate = length >= pseg0 + W
         n_keep = jnp.full((B,), W - r, jnp.int32)
     elif metric in ("linear", "jump"):
-        w_t = r + state.step // thresh
+        w_t = r + state.step // thresh           # scalar or [B] (per-row)
         state = state.replace(step=state.step + 1)
         row_gate = length >= pseg0 + w_t
-        n_keep = jnp.full((B,), w_t - r, jnp.int32)
+        n_keep = jnp.broadcast_to((w_t - r).astype(jnp.int32), (B,))
         if metric == "jump":
-            gate_any = jnp.any(row_gate)
-            counting = gate_any & (state.jump_step < thresh)
-            wave = gate_any & (state.jump_step >= thresh)
+            # Scalar counters: one stream, gate couples all rows (the
+            # reference's class-attribute arithmetic).  Per-row counters:
+            # each row runs its own jump wave.
+            gate = jnp.any(row_gate) if state.jump_step.ndim == 0 \
+                else row_gate
+            counting = gate & (state.jump_step < thresh)
+            wave = gate & (state.jump_step >= thresh)
             js = state.jump_step + counting.astype(jnp.int32)
             jl = state.jump_layer + wave.astype(jnp.int32)
             finished = jl >= num_layers

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from scope_tpu.compression.host_sched import HostScheduler, host_schedulable
 from scope_tpu.compression.schedulers import SchedState
 from scope_tpu.config import CompressionConfig, EngineConfig, ModelSpec
 from scope_tpu.models import llama
@@ -46,11 +47,10 @@ class ServingEngine:
                  ecfg: EngineConfig, params, max_slots: int = 4,
                  eos_ids: Tuple[int, ...] = (),
                  token_budget: Optional[int] = None):
-        if comp.decoding_metric not in ("none", "fixed"):
+        if comp.decoding_metric not in ("none", "fixed", "linear", "jump"):
             raise ValueError(
-                "serving supports per-request metrics none/fixed; "
-                "linear/jump counters are stream-global in the reference "
-                "semantics and cannot be shared across requests")
+                "serving supports per-request metrics none/fixed/linear/"
+                "jump; h2o/slm/pyramidinfer have no per-row gating")
         self.spec, self.comp, self.ecfg = spec, comp, ecfg
         self.params = params
         self.max_slots = max_slots
@@ -62,13 +62,29 @@ class ServingEngine:
         self._prefill = jax.jit(partial(llama.prefill, spec, comp, ecfg))
         self._decode = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
                                donate_argnums=(3,))
+        # Host-orchestrated dispatch: per-slot deterministic schedule
+        # mirrors pick either the compression-free hot step (attention
+        # bucketed to the largest live cache) or a force step with
+        # per-row fire gates.  Methods without deterministic gates fall
+        # back to the device-cond path.
+        self._host_mode = host_schedulable(comp)
+        if self._host_mode:
+            from scope_tpu.engine.host_loop import HostScheduledDecoder
+            self._hdec = HostScheduledDecoder(spec, comp, ecfg)
+            self._slot_scheds: List[Optional[HostScheduler]] = \
+                [None] * max_slots
 
         st = llama.derive_statics(spec, comp, ecfg)
         from scope_tpu.cache import init_cache
         self.cache = init_cache(spec.num_layers, max_slots, st.cache_heads,
                                 st.capacity, spec.head_dim,
                                 jnp.dtype(ecfg.dtype))
-        self.state = SchedState.init()
+        # Per-slot counters: each slot is an independent request stream
+        # with its own linear/jump schedule (reference counters are
+        # process-global and cannot serve concurrent requests).
+        self._per_row_state = comp.decoding_metric in ("linear", "jump")
+        self.state = SchedState.init(max_slots if self._per_row_state
+                                     else 0)
         self.slots = [_SlotState() for _ in range(max_slots)]
         self.cur_tok = np.zeros(max_slots, np.int64)
         self.vpos = np.zeros(max_slots, np.int64)
@@ -100,6 +116,10 @@ class ServingEngine:
         )
         self.cur_tok[slot] = tok0
         self.vpos[slot] = prompt_len
+        if self._per_row_state:
+            self.state = self.state.reset_row(slot)
+        if self._host_mode:
+            self._slot_scheds[slot] = self._hdec.new_scheduler(prompt_len)
 
     def _admit(self):
         admitted = False
@@ -133,14 +153,42 @@ class ServingEngine:
         s.request_id = -1
 
     # ------------------------------------------------------------------
+    def _host_decode(self, tok, vpos):
+        """Dispatch one step via the per-slot host schedule mirrors."""
+        fire = False
+        n_keep = np.zeros(self.max_slots, np.int32)
+        gate = np.zeros(self.max_slots, bool)
+        needed = 1
+        for slot, s in enumerate(self.slots):
+            if not s.active:
+                continue
+            plan = self._slot_scheds[slot].plan_step()
+            if plan.fire:
+                fire = True
+                gate[slot] = True
+                n_keep[slot] = plan.n_keep
+            needed = max(needed, self._slot_scheds[slot].length)
+        if fire:
+            return self._hdec._step_force(
+                self.params, tok, vpos, self.cache, self.state,
+                force_n_keep=jnp.asarray(n_keep),
+                force_row_gate=jnp.asarray(gate))
+        bucket = self._hdec._bucket_for(needed)
+        return self._hdec._step_off(bucket)(
+            self.params, tok, vpos, self.cache, self.state)
+
     def step(self):
         """Admit what fits, then run one batched decode step."""
         self._admit()
         if not any(s.active for s in self.slots):
             return False
-        logits, self.cache, self.state = self._decode(
-            self.params, jnp.asarray(self.cur_tok, jnp.int32),
-            jnp.asarray(self.vpos, jnp.int32), self.cache, self.state)
+        tok = jnp.asarray(self.cur_tok, jnp.int32)
+        vpos = jnp.asarray(self.vpos, jnp.int32)
+        if self._host_mode:
+            logits, self.cache, self.state = self._host_decode(tok, vpos)
+        else:
+            logits, self.cache, self.state = self._decode(
+                self.params, tok, vpos, self.cache, self.state)
         nxt = np.asarray(jax.device_get(jnp.argmax(logits, -1)))
         for slot, s in enumerate(self.slots):
             if not s.active:

@@ -203,6 +203,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 cache: KVCache, state: SchedState,
                 compress_mode: str = "cond",
                 force_n_keep: Optional[jnp.ndarray] = None,
+                force_row_gate: Optional[jnp.ndarray] = None,
                 attn_cap: Optional[int] = None
                 ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
     """One decode step.  token: [B] int32 (the token being fed); vpos: [B]
@@ -284,10 +285,13 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                if (spec.sliding_window is not None
                    and comp.method in ("fullkv", "allkv")) else 0)
         backend = ecfg.resolve_attn_backend()
-        from scope_tpu.ops.pallas.decode_attn import max_fused_cap
         use_fused = (ecfg.fused_decode_attention
                      and backend in ("pallas", "pallas_interpret")
-                     and not quest and cap_eff <= max_fused_cap(D))
+                     and not quest)
+        # Eviction scores are only consumed on steps that may compress;
+        # hot host-scheduled steps skip materialising them entirely.
+        need_probs = (comp.decoding_metric != "none"
+                      and compress_mode != "off")
         if not use_fused:
             mask = slot_mask(length, pvalid, cache.prefill_gap, cap_eff)
             if win:
@@ -314,9 +318,10 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 out, pr = fused_decode_attention(
                     qg, ck_v, cv_v, length, pvalid,
                     prefill_gap=cache.prefill_gap, window=win,
+                    need_probs=need_probs,
                     interpret=backend == "pallas_interpret")
                 out = out.reshape(B, Hq, 1, D)
-                probs = pr.sum(axis=2)
+                probs = pr.sum(axis=2) if pr is not None else None
             elif comp.evict_per_qhead:
                 out, probs = decode_attention(q, ck_v, cv_v, mask,
                                               softmax_f32=ecfg.softmax_f32)
@@ -332,7 +337,8 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 else:
                     pseg = jnp.full((B,), comp.max_capacity_prompt,
                                     jnp.int32)
-                row_gate = jnp.ones((B,), bool)
+                row_gate = (jnp.ones((B,), bool) if force_row_gate is None
+                            else force_row_gate)
                 src_blk, new_len = block_map(
                     comp, st.caps, probs, length, pseg, force_n_keep,
                     row_gate, False)
@@ -341,9 +347,20 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                                 0, cap_eff - 1)[..., None]
                 kblk = jnp.take_along_axis(ck_v, srcc, axis=2)
                 vblk = jnp.take_along_axis(cv_v, srcc, axis=2)
-                start = (l, 0, 0, pseg[0], 0)
-                ck_all = lax.dynamic_update_slice(ck_all, kblk[None], start)
-                cv_all = lax.dynamic_update_slice(cv_all, vblk[None], start)
+                if (B == 1 or ecfg.uniform_lengths
+                        or comp.method not in ("allkv", "quest")):
+                    start = (l, 0, 0, pseg[0], 0)
+                    ck_all = lax.dynamic_update_slice(ck_all, kblk[None],
+                                                      start)
+                    cv_all = lax.dynamic_update_slice(cv_all, vblk[None],
+                                                      start)
+                else:
+                    for b in range(B):   # per-row pseg (allkv batches)
+                        sb = (l, b, 0, pseg[b], 0)
+                        ck_all = lax.dynamic_update_slice(
+                            ck_all, kblk[b][None, None], sb)
+                        cv_all = lax.dynamic_update_slice(
+                            cv_all, vblk[b][None, None], sb)
                 len_all = len_all.at[l].set(new_len)
             elif (comp.decoding_metric != "none"
                     and compress_mode == "cond"):

@@ -1,26 +1,33 @@
-"""Fused decode attention kernel.
+"""Chunked, head-folded flash-decode attention kernel.
 
-One-token attention over the slotted cache: logits, length-mask, softmax
-and the value contraction fuse into a single kernel per (batch, cache
-head).  At compressed-cache sizes (~2.7k slots) the XLA path is dominated
-by fixed per-op overheads (~6 small ops/layer); fusing them is worth more
-than the bandwidth, which is already near roofline for large caches.
+One-token attention over the slotted cache.  Grid = (batch, k-chunks);
+each program processes ALL cache heads of one batch row for one chunk of
+slots, so per-grid-step work is a [Hc, chunk, D] tile (~1MB) — big enough
+to hide the HBM->VMEM DMA behind compute, few enough grid steps
+(~tens/layer) that Pallas' per-step overhead is negligible.  Two earlier
+designs failed the overhead math: whole-stripe blocks (no DMA/compute
+overlap, VMEM-capped) and per-(batch*head) chunk programs (thousands of
+~µs grid steps per layer).
 
-Grid: (B * Hc,). Each program holds its head's K/V stripes in VMEM
-(cap * D * 2B each — fits for cap up to ~16k at D=64 / ~8k at D=128; the
-caller falls back to XLA beyond ``max_fused_cap``).  The R query rows per
-cache head (R = GQA group size, 1 in parity mode) ride the MXU together.
+Dynamic-length efficiency with a static grid: the chunk index map clamps
+to the last live chunk (from the scalar-prefetched per-row length), so
+dead tail chunks repeat the previous block index and Pallas elides their
+fetch; their compute is skipped with ``pl.when``.
 
-Outputs the attention result and the normalized probabilities (the
-schedulers reuse them as eviction scores; grouped mode needs true
-probabilities because scores sum over the group).
+Eviction scores are opt-in (``need_probs``): most decode steps don't
+consume them (jump fires rarely; host-orchestrated hot steps never do).
+When requested, the kernel streams out the masked f32 logits and the
+caller normalises in one XLA elementwise pass.
+
+Reference equivalent: the 1 x k_len decode attention + separate scoring
+recompute at llama_model.py:602-611 / kv_utils.py:708-711.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,38 +37,80 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(len_ref, pvalid_ref, q_ref, k_ref, v_ref, o_ref, p_ref, *,
-            scale: float, cap: int, batch: int, heads: int,
-            prefill_gap: int, window: int):
-    bh = pl.program_id(0)
-    b = bh // heads
+def _kernel(len_ref, q_ref, pv_ref, k_ref, v_ref, o_ref, s_ref,
+            m_scr, l_scr, acc_scr, *, scale: float, chunk: int,
+            n_chunks: int, prefill_gap: int, window: int,
+            need_probs: bool):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
     length = len_ref[b]
-    q = q_ref[0]                                        # [R, D]
-    k = k_ref[0]                                        # [cap, D]
-    v = v_ref[0]
+    active = c * chunk < length
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    if prefill_gap > 0:
-        pv = pvalid_ref[bh]
-        valid = (idx < pv) | ((idx >= prefill_gap) & (idx < length))
-    else:
-        valid = idx < length
-    if window > 0:
-        # Sliding window over positional slots (fullkv/allkv layouts).
-        vpos = length - 1
-        valid = valid & (idx > vpos - window)
-    s = jnp.where(valid, s, NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
+    @pl.when(c == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(active)
+    def _compute():
+        q = q_ref[0]                                  # [Hc, R, D]
+        k = k_ref[0]                                  # [Hc, chunk, D]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # [Hc, R, chunk]
+        idx = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        if prefill_gap > 0:
+            # Headwise layout: valid slots are [0, pvalid_h) u [gap, len).
+            pv = pv_ref[0]                            # [Hc]
+            valid = ((idx < pv[:, None, None])
+                     | ((idx >= prefill_gap) & (idx < length)))
+        else:
+            valid = idx < length
+        if window > 0:
+            # Sliding window over positional slots (fullkv/allkv layouts).
+            valid = valid & (idx > length - 1 - window)
+        s = jnp.where(valid, s, NEG_INF)
+        m_prev = m_scr[:]                             # [Hc, R]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m_new[:, :, None]), 0.0)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2)
+        acc_scr[:] = (acc_scr[:] * alpha[:, :, None]
+                      + jax.lax.dot_general(
+                          p.astype(v_ref.dtype), v_ref[0],
+                          (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32))
+        m_scr[:] = m_new
+        if need_probs:
+            s_ref[0] = s
+
+    if need_probs:
+        @pl.when(jnp.logical_not(active))
+        def _pad():
+            s_ref[0] = jnp.full_like(s_ref[0], NEG_INF)
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        l = l_scr[:]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_scr[:] / safe_l[:, :, None]).astype(o_ref.dtype)
+
+
+def _normalize_logits(s: jnp.ndarray) -> jnp.ndarray:
+    """Masked-logits -> probabilities, guarding fully-masked rows."""
+    m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m), 0.0)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    l = jnp.where(l > 0, l, 1.0)
-    p = p / l
-    o_ref[0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
-    p_ref[0] = p
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    return p / jnp.where(l > 0, l, 1.0)
+
+
+def default_chunk(num_heads: int, head_dim: int,
+                  tile_bytes: int = 2**20) -> int:
+    """Largest chunk whose [Hc, chunk, D] bf16 tile fits ``tile_bytes``."""
+    c = tile_bytes // (num_heads * head_dim * 2)
+    c = max(128, min(1024, c))
+    return (c // 128) * 128
 
 
 def fused_decode_attention(
@@ -73,45 +122,72 @@ def fused_decode_attention(
     *,
     prefill_gap: int = 0,
     window: int = 0,
+    need_probs: bool = True,
+    chunk: int = 0,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (out [B, Hc, R, D], probs [B, Hc, R, cap] float32)."""
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Returns (out [B, Hc, R, D], probs [B, Hc, R, cap] f32 or None)."""
     B, Hc, R, D = q.shape
     cap = cache_k.shape[2]
+    if not chunk:
+        chunk = default_chunk(Hc, D)
+    chunk = min(chunk, ((cap + 127) // 128) * 128)
+    n_chunks = pl.cdiv(cap, chunk)
     scale = 1.0 / math.sqrt(D)
-    qf = q.reshape(B * Hc, R, D)
-    kf = cache_k.reshape(B * Hc, cap, D)
-    vf = cache_v.reshape(B * Hc, cap, D)
 
-    kernel = functools.partial(_kernel, scale=scale, cap=cap, batch=B,
-                               heads=Hc, prefill_gap=prefill_gap,
-                               window=window)
+    if prefill_gap > 0:
+        # Valid slots are not a single prefix; fetch every chunk.
+        def kv_map(b, c, ln):
+            return (b, 0, c, 0)
+    else:
+        # Clamp to the last live chunk: repeated block indices are not
+        # re-fetched, so dead tail chunks cost no HBM traffic.
+        def kv_map(b, c, ln):
+            last = jnp.maximum((ln[b] + chunk - 1) // chunk - 1, 0)
+            return (b, 0, jnp.minimum(c, last), 0)
+
+    kernel = functools.partial(
+        _kernel, scale=scale, chunk=chunk, n_chunks=n_chunks,
+        prefill_gap=prefill_gap, window=window, need_probs=need_probs)
+
+    out_specs = [
+        pl.BlockSpec((1, Hc, R, D), lambda b, c, ln: (b, 0, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, Hc, R, D), q.dtype)]
+    if need_probs:
+        out_specs.append(
+            pl.BlockSpec((1, Hc, R, chunk), lambda b, c, ln: (b, 0, 0, c)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, Hc, R, cap), jnp.float32))
+    else:
+        # Dummy 0-cost slot so the kernel signature is static.
+        out_specs.append(
+            pl.BlockSpec((1, 1, 1, chunk), lambda b, c, ln: (0, 0, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1, 1, chunk),
+                                              jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B * Hc,),
+        num_scalar_prefetch=1,
+        grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, R, D), lambda bh, ln, pv: (bh, 0, 0)),
-            pl.BlockSpec((1, cap, D), lambda bh, ln, pv: (bh, 0, 0)),
-            pl.BlockSpec((1, cap, D), lambda bh, ln, pv: (bh, 0, 0)),
+            pl.BlockSpec((1, Hc, R, D), lambda b, c, ln: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hc), lambda b, c, ln: (b, 0)),
+            pl.BlockSpec((1, Hc, chunk, D), kv_map),
+            pl.BlockSpec((1, Hc, chunk, D), kv_map),
         ],
-        out_specs=[
-            pl.BlockSpec((1, R, D), lambda bh, ln, pv: (bh, 0, 0)),
-            pl.BlockSpec((1, R, cap), lambda bh, ln, pv: (bh, 0, 0)),
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((Hc, R), jnp.float32),
+            pltpu.VMEM((Hc, R), jnp.float32),
+            pltpu.VMEM((Hc, R, D), jnp.float32),
         ],
     )
-    out, probs = pl.pallas_call(
+    out, s_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * Hc, R, D), q.dtype),
-            jax.ShapeDtypeStruct((B * Hc, R, cap), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(length.astype(jnp.int32), pvalid.reshape(B * Hc).astype(jnp.int32),
-      qf, kf, vf)
-    return out.reshape(B, Hc, R, D), probs.reshape(B, Hc, R, cap)
-
-
-def max_fused_cap(head_dim: int, vmem_budget: int = 8 * 2**20) -> int:
-    """Largest cache capacity whose K+V stripes fit the VMEM budget."""
-    return vmem_budget // (2 * head_dim * 2)
+    )(length.astype(jnp.int32), q, pvalid.astype(jnp.int32),
+      cache_k, cache_v)
+    if not need_probs:
+        return out, None
+    return out, _normalize_logits(s_out)

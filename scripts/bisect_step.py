@@ -1,0 +1,161 @@
+"""Bisect the decode step's time: weights-only vs +append vs +attention.
+
+Builds stripped-down jitted step programs sharing the real weight set and
+cache buffers, so the difference between variants isolates one mechanism:
+  base      embed + per-layer (norms, q/k/v proj, rope, o_proj, MLP) + lm
+  append    base + per-layer cache append (2 dynamic_update_slice)
+  attn      base + per-layer decode attention reads (no append)
+  full      append + attn  (== the real hot step, compress_mode="off")
+Run alone — the chip is single-tenant.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--kvhead", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from scope_tpu.cache import init_cache, slot_mask
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    from scope_tpu.models import llama
+    from scope_tpu.models.registry import get_spec
+    from scope_tpu.ops.common import (apply_rope, repeat_kv, rms_norm,
+                                      rope_cos_sin, rope_inv_freq, swiglu)
+
+    log(f"devices: {jax.devices()}")
+    spec = get_spec("llama-3.2-1b")
+    params = llama.init_params(spec, jax.random.key(0), jnp.bfloat16)
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
+        window_size=8, decoding_window_size=512, decoding_recent_size=256,
+        delta=30, evict_per_qhead=not args.kvhead)
+    ecfg = EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
+                        dtype="bfloat16", uniform_lengths=True)
+    st = llama.derive_statics(spec, comp, ecfg)
+    cap = st.capacity
+    B = args.batch
+    L, Hq, Hkv, D = (spec.num_layers, spec.num_heads, spec.num_kv_heads,
+                     spec.head_dim)
+    Hc, G = st.cache_heads, spec.num_kv_groups
+    dtype = jnp.bfloat16
+
+    def make_cache():
+        c = init_cache(L, B, Hc, cap, D, dtype)
+        key = jax.random.key(1)
+        return c.replace(
+            k=jax.random.normal(key, c.k.shape, dtype),
+            v=jax.random.normal(key, c.v.shape, dtype),
+            length=jnp.full_like(c.length, cap - args.steps * 3 - 8),
+            pvalid=jnp.full_like(c.pvalid, cap - args.steps * 3 - 8))
+
+    def step(params, token, vpos, cache, *, do_append, do_attn):
+        inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
+        cos, sin = rope_cos_sin(vpos[:, None], inv_freq)
+        x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)
+        lp = params["layers"]
+        ck_all, cv_all, len_all = cache.k, cache.v, cache.length
+        import math as _m
+        scale = 1.0 / _m.sqrt(D)
+        for l in range(L):
+            p = {n: a[l] for n, a in lp.items()}
+            h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
+            q = jnp.dot(h, p["wq"]).reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
+            k = jnp.dot(h, p["wk"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
+            v = jnp.dot(h, p["wv"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            if Hc == Hq:
+                k = repeat_kv(k, G)
+                v = repeat_kv(v, G)
+            length = len_all[l]
+            if do_append:
+                start = (l, 0, 0, length[0], 0)
+                ck_all = lax.dynamic_update_slice(ck_all, k[None], start)
+                cv_all = lax.dynamic_update_slice(cv_all, v[None], start)
+                length = length + 1
+                len_all = len_all.at[l].set(length)
+            if do_attn:
+                ck_v, cv_v = ck_all[l], cv_all[l]
+                mask = slot_mask(length, cache.pvalid[l], 0, cap)
+                qg = q.reshape(B, Hc, Hq // Hc, D)
+                logits = jnp.einsum("bhgd,bhsd->bhgs", qg, ck_v,
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+                logits = jnp.where(mask[:, :, None, :], logits,
+                                   -1e30)
+                probs = jax.nn.softmax(logits, axis=-1)
+                out = jnp.einsum("bhgs,bhsd->bhgd",
+                                 probs.astype(cv_v.dtype), cv_v)
+                out = out.reshape(B, Hq, 1, D)
+            else:
+                # Keep q/k/v live without touching the cache.
+                out = q + jnp.mean(k, 1, keepdims=True) \
+                    + jnp.mean(v, 1, keepdims=True)
+            out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
+            x = x + jnp.dot(out, p["wo"])
+            h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
+            x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+        cache = cache.replace(k=ck_all, v=cv_all, length=len_all)
+        x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+        logits = jnp.dot(x[:, 0], params["embed"].T)
+        return logits, cache
+
+    def measure(name, do_append, do_attn):
+        cache = make_cache()
+        fn = jax.jit(partial(step, do_append=do_append, do_attn=do_attn),
+                     donate_argnums=(3,))
+        tok = jnp.zeros((B,), jnp.int32) + 7
+        vpos = jnp.full((B,), 4000, jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            logits, cache = fn(params, tok, vpos, cache)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        _ = jax.device_get(tok)
+        log(f"  [{name}] compile+warmup {time.perf_counter()-t0:.1f}s")
+        times = []
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                logits, cache = fn(params, tok, vpos, cache)
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            _ = jax.device_get(tok)
+            times.append((time.perf_counter() - t0) / args.steps)
+        ms = max(times) * 1e3
+        log(f"[{name}] {[f'{t*1e3:.2f}' for t in times]} ms")
+        return ms
+
+    r = {}
+    r["base"] = measure("base", False, False)
+    r["append"] = measure("append", True, False)
+    r["attn"] = measure("attn", False, True)
+    r["full"] = measure("full", True, True)
+    log(f"== kvhead={args.kvhead} cap={cap} Hc={Hc}: "
+        + "  ".join(f"{k}={v:.2f}ms" for k, v in r.items()))
+    log(f"   append cost {r['append']-r['base']:.2f}ms, "
+        f"attn cost {r['attn']-r['base']:.2f}ms, "
+        f"full-vs-base {r['full']-r['base']:.2f}ms")
+
+
+if __name__ == "__main__":
+    main()

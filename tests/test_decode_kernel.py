@@ -95,6 +95,58 @@ def test_fused_sliding_window():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_chunked_multi_chunk_matches_xla():
+    """n_chunks > 1 exercises the online-softmax accumulation and the
+    clamped fetch of dead tail chunks."""
+    q, k, v = make(5)
+    for lens in ([100, 200], [1, 256], [64, 65]):
+        length = jnp.asarray(lens, jnp.int32)
+        pvalid = jnp.broadcast_to(length[:, None], (B, H))
+        mask = slot_mask(length, pvalid, 0, CAP)
+        out_x, probs_x = decode_attention(q, k, v, mask)
+        out_p, probs_p = fused_decode_attention(q, k, v, length, pvalid,
+                                                chunk=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                                   np.asarray(out_x[:, :, 0]),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(probs_p[:, :, 0]),
+                                   np.asarray(probs_x), rtol=2e-5,
+                                   atol=2e-5)
+
+
+def test_chunked_no_probs():
+    q, k, v = make(6)
+    length = jnp.asarray([100, 200], jnp.int32)
+    pvalid = jnp.broadcast_to(length[:, None], (B, H))
+    mask = slot_mask(length, pvalid, 0, CAP)
+    out_x, _ = decode_attention(q, k, v, mask)
+    out_p, probs_p = fused_decode_attention(q, k, v, length, pvalid,
+                                            chunk=64, need_probs=False,
+                                            interpret=True)
+    assert probs_p is None
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_gap_layout_multi_chunk():
+    q, k, v = make(7)
+    gap = 128
+    length = jnp.asarray([gap + 20, gap + 90], jnp.int32)
+    rng = np.random.default_rng(8)
+    pvalid = jnp.asarray(rng.integers(16, gap, (B, H)), jnp.int32)
+    mask = slot_mask(length, pvalid, gap, CAP)
+    out_x, probs_x = decode_attention(q, k, v, mask)
+    out_p, probs_p = fused_decode_attention(q, k, v, length, pvalid,
+                                            prefill_gap=gap, chunk=64,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(probs_p[:, :, 0]),
+                               np.asarray(probs_x), rtol=2e-5, atol=2e-5)
+
+
 def test_model_uses_fused_kernel_identically():
     """End-to-end: pallas_interpret backend == xla backend tokens."""
     comp = CompressionConfig(method="h2o", decoding_metric="fixed",

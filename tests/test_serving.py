@@ -107,7 +107,30 @@ def test_serving_with_fixed_compression():
 
 def test_serving_rejects_stream_global_metrics():
     with pytest.raises(ValueError):
-        _mk_engine(metric="jump")
+        _mk_engine(metric="h2o")
+
+
+@pytest.mark.parametrize("metric", ["linear", "jump"])
+def test_serving_per_slot_counters(metric):
+    """linear/jump run per-slot counter streams: each request matches its
+    dedicated single-stream run even with slot reuse (counter resets)."""
+    eng, comp, params = _mk_engine(metric=metric, max_slots=2)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 90, 110)]
+    ids = [eng.submit(p, 20) for p in prompts]
+    results = eng.run()
+    assert set(ids) <= set(results)
+
+    from scope_tpu.engine.generate import generate_scan
+    for p, rid in zip(prompts, ids):
+        toks = np.zeros((1, 128), np.int32)
+        toks[0, :len(p)] = p
+        gen, _ = generate_scan(TINY_LLAMA, comp, ECFG, params,
+                               jnp.asarray(toks),
+                               jnp.array([len(p)], jnp.int32), 20, -1)
+        np.testing.assert_array_equal(np.asarray(gen[0]),
+                                      np.array(results[rid]))
 
 
 def test_serving_queue_overflow_admits_later():
