@@ -56,18 +56,20 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16
         return (jax.random.normal(k, shape, jnp.float32)
                 * (1.0 / math.sqrt(fan_in))).astype(dtype)
 
+    G = spec.num_kv_groups
     params = {
         "embed": dense(keys[0], (spec.vocab_size, E), E),
         "final_norm": jnp.ones((E,), dtype),
         "layers": {
             "ln_attn": jnp.ones((L, E), dtype),
             "ln_mlp": jnp.ones((L, E), dtype),
-            "wq": dense(keys[1], (L, E, Hq * D), E),
-            "wk": dense(keys[2], (L, E, Hkv * D), E),
-            "wv": dense(keys[3], (L, E, Hkv * D), E),
+            # Fused q/k/v grouped BY KV HEAD ([.., Hkv, G+2, D]: each kv
+            # head's G query heads, then its k, then its v) — one matmul
+            # per layer instead of three, and TP sharding of the Hkv axis
+            # keeps every shard's q/k/v split local.
+            "wqkv": dense(keys[1], (L, E, Hkv, G + 2, D), E),
             "wo": dense(keys[4], (L, Hq * D, E), Hq * D),
-            "w_gate": dense(keys[5], (L, E, I), E),
-            "w_up": dense(keys[6], (L, E, I), E),
+            "w_gate_up": dense(keys[5], (L, E, 2, I), E),
             "w_down": dense(keys[7], (L, I, E), I),
         },
     }
@@ -137,9 +139,11 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
 
     def layer(x, p, layer_idx):
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-        q = jnp.dot(h, p["wq"]).reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
-        k = jnp.dot(h, p["wk"]).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
-        v = jnp.dot(h, p["wv"]).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        qkv = lax.dot_general(h, p["wqkv"],
+                              (((2,), (0,)), ((), ())))  # [B,S,Hkv,G+2,D]
+        q = qkv[:, :, :, :G].reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
+        k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
+        v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         k_full = repeat_kv(k, G)
@@ -154,7 +158,7 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         out = out.transpose(0, 2, 1, 3).reshape(B, S, Hq * D)
         x = x + jnp.dot(out, p["wo"])
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-        x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+        x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
 
         if comp.evict_per_qhead:
             ck, cv, cq = k_full, v_full, q
@@ -253,9 +257,11 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     for l in range(L):
         p = {name: arr[l] for name, arr in lp.items()}
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-        q = jnp.dot(h, p["wq"]).reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
-        k = jnp.dot(h, p["wk"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
-        v = jnp.dot(h, p["wv"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
+        qkv = lax.dot_general(h, p["wqkv"],
+                              (((2,), (0,)), ((), ())))  # [B,1,Hkv,G+2,D]
+        q = qkv[:, :, :, :G].reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
+        k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
+        v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if comp.evict_per_qhead:
@@ -392,7 +398,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
         x = x + jnp.dot(out, p["wo"])
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-        x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+        x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
 
     cache = cache.replace(k=ck_all, v=cv_all, length=len_all, pvalid=pv_all)
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)

@@ -102,7 +102,21 @@ def params_from_state_dict(spec: ModelSpec, tensors: Dict[str, np.ndarray],
         missing = [i for i, v in enumerate(vals) if v is None]
         if missing:
             raise ValueError(f"missing {name} for layers {missing}")
-        params["layers"][name] = cast(np.stack(vals))
+        layers[name] = np.stack(vals)
+
+    # Fuse q/k/v into the kv-head-grouped layout [L, E, Hkv, G+2, D] and
+    # gate/up into [L, E, 2, I] (see llama.init_params).
+    L_, E = layers["wq"].shape[:2]
+    Hkv, D, G = spec.num_kv_heads, spec.head_dim, spec.num_kv_groups
+    q = layers.pop("wq").reshape(L_, E, Hkv, G, D)
+    k = layers.pop("wk").reshape(L_, E, Hkv, 1, D)
+    v = layers.pop("wv").reshape(L_, E, Hkv, 1, D)
+    layers["wqkv"] = np.concatenate([q, k, v], axis=3)
+    layers["w_gate_up"] = np.stack(
+        [layers.pop("w_gate"), layers.pop("w_up")], axis=2)
+
+    for name, arr in layers.items():
+        params["layers"][name] = cast(arr)
 
     if spec.tie_word_embeddings:
         params.pop("lm_head", None)

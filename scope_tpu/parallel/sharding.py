@@ -50,12 +50,13 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         "layers": {
             "ln_attn": P(None, None),
             "ln_mlp": P(None, None),
-            "wq": P(None, None, MODEL_AXIS),
-            "wk": P(None, None, MODEL_AXIS),
-            "wv": P(None, None, MODEL_AXIS),
+            # Fused qkv is grouped by kv head ([L, E, Hkv, G+2, D]), so
+            # sharding the Hkv axis keeps each shard's q/k/v split local.
+            "wqkv": P(None, None, MODEL_AXIS, None, None),
             "wo": P(None, MODEL_AXIS, None),
-            "w_gate": P(None, None, MODEL_AXIS),
-            "w_up": P(None, None, MODEL_AXIS),
+            # Fused gate/up keeps an explicit [.., 2, I] axis so the I
+            # shard boundary never crosses the gate|up seam.
+            "w_gate_up": P(None, None, None, MODEL_AXIS),
             "w_down": P(None, MODEL_AXIS, None),
         },
     }

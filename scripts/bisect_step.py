@@ -80,9 +80,10 @@ def main():
         for l in range(L):
             p = {n: a[l] for n, a in lp.items()}
             h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-            q = jnp.dot(h, p["wq"]).reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
-            k = jnp.dot(h, p["wk"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
-            v = jnp.dot(h, p["wv"]).reshape(B, 1, Hkv, D).transpose(0, 2, 1, 3)
+            qkv = lax.dot_general(h, p["wqkv"], (((2,), (0,)), ((), ())))
+            q = qkv[:, :, :, :G].reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
+            k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
+            v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             if Hc == Hq:
@@ -115,7 +116,7 @@ def main():
             out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
             x = x + jnp.dot(out, p["wo"])
             h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-            x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+            x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
         cache = cache.replace(k=ck_all, v=cv_all, length=len_all)
         x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
         logits = jnp.dot(x[:, 0], params["embed"].T)

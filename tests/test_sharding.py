@@ -75,10 +75,12 @@ def test_sharded_generation_matches_single_device(mesh, method, metric):
 def test_param_sharding_layout(mesh):
     params = llama.init_params(SPEC8, jax.random.key(0), jnp.float32)
     sp = shard_params(params, mesh)
-    # wq output dim split over 'model' (4-way).
-    shard_shape = sp["layers"]["wq"].sharding.shard_shape(
-        sp["layers"]["wq"].shape)
-    assert shard_shape[-1] == SPEC8.num_heads * SPEC8.head_dim // 4
+    # wqkv kv-head axis split over 'model' (4-way): each shard owns whole
+    # kv-head groups, so its q/k/v split is local.
+    shard_shape = sp["layers"]["wqkv"].sharding.shard_shape(
+        sp["layers"]["wqkv"].shape)
+    assert shard_shape[2] == SPEC8.num_kv_heads // 4
+    assert shard_shape[-2:] == (SPEC8.num_kv_groups + 2, SPEC8.head_dim)
     # norms replicated.
     assert sp["final_norm"].sharding.is_fully_replicated
 
