@@ -254,6 +254,17 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     b_idx = jnp.arange(B)[:, None]
     h_idx = jnp.arange(Hc)[None, :]
 
+    # Hot-step fast path: don't append per layer (each in-place
+    # dynamic_update_slice costs ~30us of fixed op overhead on TPU —
+    # ~1ms/step at 1B scale).  Instead attention folds the step's own
+    # k/v token explicitly, the layer k/v are staged, and ONE stacked
+    # write lands all layers' tokens at the end of the step.  Lengths
+    # are layer-uniform in "off" mode, so a single slice start works.
+    defer_append = (compress_mode == "off" and not quest
+                    and cache.prefill_gap == 0
+                    and (B == 1 or ecfg.uniform_lengths))
+    staged = []
+
     for l in range(L):
         p = {name: arr[l] for name, arr in lp.items()}
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
@@ -272,7 +283,9 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         # B==1 fast path: one dynamic_update_slice (a general scatter is
         # slow on TPU); multi-row batches fall back to scatter.
         length = len_all[l]
-        if B == 1 or ecfg.uniform_lengths:
+        if defer_append:
+            staged.append((k, v))
+        elif B == 1 or ecfg.uniform_lengths:
             start = (l, 0, 0, length[0], 0)
             ck_all = lax.dynamic_update_slice(ck_all, k[None], start)
             cv_all = lax.dynamic_update_slice(cv_all, v[None], start)
@@ -281,8 +294,9 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 k[:, :, 0, :])
             cv_all = cv_all.at[l, b_idx, h_idx, length[:, None], :].set(
                 v[:, :, 0, :])
-        length = length + 1
-        len_all = len_all.at[l].set(length)
+        if not defer_append:
+            length = length + 1
+            len_all = len_all.at[l].set(length)
 
         pvalid = pv_all[l]
         ck_v = ck_all[l][:, :, :cap_eff]
@@ -325,9 +339,16 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     qg, ck_v, cv_v, length, pvalid,
                     prefill_gap=cache.prefill_gap, window=win,
                     need_probs=need_probs,
+                    new_k=k if defer_append else None,
+                    new_v=v if defer_append else None,
                     interpret=backend == "pallas_interpret")
                 out = out.reshape(B, Hq, 1, D)
                 probs = pr.sum(axis=2) if pr is not None else None
+            elif defer_append:
+                out = _deferred_decode_attention(
+                    q, ck_v, cv_v, mask, k, v,
+                    softmax_f32=ecfg.softmax_f32)
+                probs = None
             elif comp.evict_per_qhead:
                 out, probs = decode_attention(q, ck_v, cv_v, mask,
                                               softmax_f32=ecfg.softmax_f32)
@@ -400,10 +421,45 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
         x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
 
+    if defer_append:
+        ks = jnp.stack([kk for kk, _ in staged])      # [L, B, Hc, 1, D]
+        vs = jnp.stack([vv for _, vv in staged])
+        start = (0, 0, 0, len_all[0, 0], 0)
+        ck_all = lax.dynamic_update_slice(ck_all, ks, start)
+        cv_all = lax.dynamic_update_slice(cv_all, vs, start)
+        len_all = len_all + 1
+
     cache = cache.replace(k=ck_all, v=cv_all, length=len_all, pvalid=pv_all)
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     logits = _lm_logits(spec, params, x[:, 0])
     return logits, cache, state
+
+
+def _deferred_decode_attention(q, cache_k, cache_v, mask, k_new, v_new, *,
+                               softmax_f32=True):
+    """Decode attention over the cache PLUS the step's un-appended token.
+
+    q: [B, Hq, 1, D]; cache: [B, Hc, S, D]; k_new/v_new: [B, Hc, 1, D].
+    Works for both the GQA-expanded (Hc == Hq) and kv-head (Hc == Hkv)
+    cache layouts; no eviction scores (hot-step path only)."""
+    from scope_tpu.ops.attention import NEG_INF
+    B, Hq, _, D = q.shape
+    Hc = cache_k.shape[1]
+    scale = 1.0 / math.sqrt(D)
+    acc = jnp.float32 if softmax_f32 else q.dtype
+    qg = q.reshape(B, Hc, Hq // Hc, D)
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k,
+                        preferred_element_type=acc) * scale
+    logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
+    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, k_new,
+                       preferred_element_type=acc) * scale
+    probs = jax.nn.softmax(
+        jnp.concatenate([logits, l_new], axis=-1).astype(jnp.float32),
+        axis=-1)
+    out = (jnp.einsum("bhgs,bhsd->bhgd",
+                      probs[..., :-1].astype(cache_v.dtype), cache_v)
+           + probs[..., -1:].astype(v_new.dtype) * v_new)
+    return out.reshape(B, Hq, 1, D)
 
 
 def _grouped_decode_attention(q, cache_k, cache_v, mask, groups, *,

@@ -37,10 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(len_ref, q_ref, pv_ref, k_ref, v_ref, o_ref, s_ref,
-            m_scr, l_scr, acc_scr, *, scale: float, chunk: int,
-            n_chunks: int, prefill_gap: int, window: int,
-            need_probs: bool):
+def _kernel(len_ref, q_ref, pv_ref, k_ref, v_ref, kn_ref, vn_ref,
+            o_ref, s_ref, m_scr, l_scr, acc_scr, *, scale: float,
+            chunk: int, n_chunks: int, prefill_gap: int, window: int,
+            need_probs: bool, has_new: bool):
     b = pl.program_id(0)
     c = pl.program_id(1)
     length = len_ref[b]
@@ -62,14 +62,17 @@ def _kernel(len_ref, q_ref, pv_ref, k_ref, v_ref, o_ref, s_ref,
         idx = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         if prefill_gap > 0:
             # Headwise layout: valid slots are [0, pvalid_h) u [gap, len).
-            pv = pv_ref[0]                            # [Hc]
+            pv = pv_ref[b]                            # [Hc]
             valid = ((idx < pv[:, None, None])
                      | ((idx >= prefill_gap) & (idx < length)))
         else:
             valid = idx < length
         if window > 0:
             # Sliding window over positional slots (fullkv/allkv layouts).
-            valid = valid & (idx > length - 1 - window)
+            # In deferred-append mode the un-appended token is the latest
+            # position, shifting the window bound by one.
+            latest = length if has_new else length - 1
+            valid = valid & (idx > latest - window)
         s = jnp.where(valid, s, NEG_INF)
         m_prev = m_scr[:]                             # [Hc, R]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
@@ -92,6 +95,24 @@ def _kernel(len_ref, q_ref, pv_ref, k_ref, v_ref, o_ref, s_ref,
 
     @pl.when(c == n_chunks - 1)
     def _finish():
+        if has_new:
+            # Fold the step's own (not-yet-appended) k/v token: one more
+            # online-softmax update.  This lets the hot decode step defer
+            # the cache append entirely (one batched write per step
+            # instead of one per layer).
+            q = q_ref[0]                              # [Hc, R, D]
+            kn = kn_ref[0]                            # [Hc, 1, D]
+            sn = jax.lax.dot_general(
+                q, kn, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, :, 0] * scale
+            m_prev = m_scr[:]
+            m_new = jnp.maximum(m_prev, sn)
+            alpha = jnp.exp(m_prev - m_new)
+            pn = jnp.exp(sn - m_new)
+            l_scr[:] = l_scr[:] * alpha + pn
+            acc_scr[:] = (acc_scr[:] * alpha[:, :, None]
+                          + pn[:, :, None]
+                          * vn_ref[0].astype(jnp.float32))
         l = l_scr[:]
         safe_l = jnp.where(l > 0, l, 1.0)
         o_ref[0] = (acc_scr[:] / safe_l[:, :, None]).astype(o_ref.dtype)
@@ -123,12 +144,24 @@ def fused_decode_attention(
     prefill_gap: int = 0,
     window: int = 0,
     need_probs: bool = True,
+    new_k: Optional[jnp.ndarray] = None,   # [B, Hc, 1, D] un-appended token
+    new_v: Optional[jnp.ndarray] = None,
     chunk: int = 0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Returns (out [B, Hc, R, D], probs [B, Hc, R, cap] f32 or None)."""
+    """Returns (out [B, Hc, R, D], probs [B, Hc, R, cap] f32 or None).
+
+    With ``new_k``/``new_v`` the step's own token is folded into the
+    softmax in-kernel (deferred-append mode); requires need_probs=False
+    (score-consuming steps append first so slot indices line up)."""
     B, Hc, R, D = q.shape
     cap = cache_k.shape[2]
+    has_new = new_k is not None
+    if has_new and need_probs:
+        raise ValueError("new_kv folding requires need_probs=False")
+    if not has_new:
+        new_k = jnp.zeros((B, Hc, 1, D), cache_k.dtype)
+        new_v = new_k
     if not chunk:
         chunk = default_chunk(Hc, D)
     chunk = min(chunk, ((cap + 127) // 128) * 128)
@@ -148,7 +181,8 @@ def fused_decode_attention(
 
     kernel = functools.partial(
         _kernel, scale=scale, chunk=chunk, n_chunks=n_chunks,
-        prefill_gap=prefill_gap, window=window, need_probs=need_probs)
+        prefill_gap=prefill_gap, window=window, need_probs=need_probs,
+        has_new=has_new)
 
     out_specs = [
         pl.BlockSpec((1, Hc, R, D), lambda b, c, ln: (b, 0, 0, 0))]
@@ -170,9 +204,13 @@ def fused_decode_attention(
         grid=(B, n_chunks),
         in_specs=[
             pl.BlockSpec((1, Hc, R, D), lambda b, c, ln: (b, 0, 0, 0)),
-            pl.BlockSpec((1, Hc), lambda b, c, ln: (b, 0)),
+            # Whole-array block: a (1, Hc) slice would violate Mosaic's
+            # (8, 128)-divisibility rule; the kernel row-indexes it.
+            pl.BlockSpec((B, Hc), lambda b, c, ln: (0, 0)),
             pl.BlockSpec((1, Hc, chunk, D), kv_map),
             pl.BlockSpec((1, Hc, chunk, D), kv_map),
+            pl.BlockSpec((1, Hc, 1, D), lambda b, c, ln: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hc, 1, D), lambda b, c, ln: (b, 0, 0, 0)),
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -187,7 +225,7 @@ def fused_decode_attention(
         out_shape=out_shape,
         interpret=interpret,
     )(length.astype(jnp.int32), q, pvalid.astype(jnp.int32),
-      cache_k, cache_v)
+      cache_k, cache_v, new_k, new_v)
     if not need_probs:
         return out, None
     return out, _normalize_logits(s_out)

@@ -46,6 +46,15 @@ def main():
     log(f"devices: {jax.devices()}")
     spec = get_spec("llama-3.2-1b")
     params = llama.init_params(spec, jax.random.key(0), jnp.bfloat16)
+    # Materialized unfused projection weights (A/B vs the fused layout).
+    lw = params["layers"]
+    Lq, Eq = lw["wqkv"].shape[:2]
+    Gq = spec.num_kv_groups
+    lw["wq2"] = lw["wqkv"][..., :Gq, :].reshape(Lq, Eq, -1)
+    lw["wk2"] = lw["wqkv"][..., Gq, :].reshape(Lq, Eq, -1)
+    lw["wv2"] = lw["wqkv"][..., Gq + 1, :].reshape(Lq, Eq, -1)
+    lw["w_gate2"] = lw["w_gate_up"][:, :, 0]
+    lw["w_up2"] = lw["w_gate_up"][:, :, 1]
     comp = CompressionConfig(
         method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
         window_size=8, decoding_window_size=512, decoding_recent_size=256,
@@ -69,7 +78,8 @@ def main():
             length=jnp.full_like(c.length, cap - args.steps * 3 - 8),
             pvalid=jnp.full_like(c.pvalid, cap - args.steps * 3 - 8))
 
-    def step(params, token, vpos, cache, *, do_append, do_attn):
+    def step(params, token, vpos, cache, *, do_append, do_attn,
+             append_once=False, unfused=False):
         inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
         cos, sin = rope_cos_sin(vpos[:, None], inv_freq)
         x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)
@@ -77,20 +87,33 @@ def main():
         ck_all, cv_all, len_all = cache.k, cache.v, cache.length
         import math as _m
         scale = 1.0 / _m.sqrt(D)
+        staged = []
         for l in range(L):
             p = {n: a[l] for n, a in lp.items()}
             h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-            qkv = lax.dot_general(h, p["wqkv"], (((2,), (0,)), ((), ())))
-            q = qkv[:, :, :, :G].reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
-            k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
-            v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
+            if unfused:
+                q = jnp.dot(h, p["wq2"]).reshape(B, 1, Hq, D
+                                                 ).transpose(0, 2, 1, 3)
+                k = jnp.dot(h, p["wk2"]).reshape(B, 1, Hkv, D
+                                                 ).transpose(0, 2, 1, 3)
+                v = jnp.dot(h, p["wv2"]).reshape(B, 1, Hkv, D
+                                                 ).transpose(0, 2, 1, 3)
+            else:
+                qkv = lax.dot_general(h, p["wqkv"],
+                                      (((2,), (0,)), ((), ())))
+                q = qkv[:, :, :, :G].reshape(B, 1, Hq, D
+                                             ).transpose(0, 2, 1, 3)
+                k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
+                v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             if Hc == Hq:
                 k = repeat_kv(k, G)
                 v = repeat_kv(v, G)
             length = len_all[l]
-            if do_append:
+            if append_once:
+                staged.append((k, v))
+            elif do_append:
                 start = (l, 0, 0, length[0], 0)
                 ck_all = lax.dynamic_update_slice(ck_all, k[None], start)
                 cv_all = lax.dynamic_update_slice(cv_all, v[None], start)
@@ -116,15 +139,29 @@ def main():
             out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
             x = x + jnp.dot(out, p["wo"])
             h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-            x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
+            if unfused:
+                g = jnp.dot(h2, p["w_gate2"])
+                u = jnp.dot(h2, p["w_up2"])
+                x = x + jnp.dot(jax.nn.silu(g) * u, p["w_down"])
+            else:
+                x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
+        if append_once:
+            ks = jnp.stack([k for k, _ in staged])   # [L, B, Hc, 1, D]
+            vs = jnp.stack([v for _, v in staged])
+            start = (0, 0, 0, len_all[0, 0], 0)
+            ck_all = lax.dynamic_update_slice(ck_all, ks, start)
+            cv_all = lax.dynamic_update_slice(cv_all, vs, start)
+            len_all = len_all + 1
         cache = cache.replace(k=ck_all, v=cv_all, length=len_all)
         x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
         logits = jnp.dot(x[:, 0], params["embed"].T)
         return logits, cache
 
-    def measure(name, do_append, do_attn):
+    def measure(name, do_append, do_attn, append_once=False,
+                unfused=False):
         cache = make_cache()
-        fn = jax.jit(partial(step, do_append=do_append, do_attn=do_attn),
+        fn = jax.jit(partial(step, do_append=do_append, do_attn=do_attn,
+                             append_once=append_once, unfused=unfused),
                      donate_argnums=(3,))
         tok = jnp.zeros((B,), jnp.int32) + 7
         vpos = jnp.full((B,), 4000, jnp.int32)
@@ -148,14 +185,21 @@ def main():
 
     r = {}
     r["base"] = measure("base", False, False)
+    r["base_unfused"] = measure("base_unfused", False, False, unfused=True)
+    r["base2"] = measure("base2", False, False)
     r["append"] = measure("append", True, False)
+    r["append_once"] = measure("append_once", False, False,
+                               append_once=True)
     r["attn"] = measure("attn", False, True)
     r["full"] = measure("full", True, True)
+    r["full_once"] = measure("full_once", False, True, append_once=True)
     log(f"== kvhead={args.kvhead} cap={cap} Hc={Hc}: "
         + "  ".join(f"{k}={v:.2f}ms" for k, v in r.items()))
-    log(f"   append cost {r['append']-r['base']:.2f}ms, "
+    log(f"   append cost {r['append']-r['base']:.2f}ms "
+        f"(once: {r['append_once']-r['base']:.2f}ms), "
         f"attn cost {r['attn']-r['base']:.2f}ms, "
-        f"full-vs-base {r['full']-r['base']:.2f}ms")
+        f"full-vs-base {r['full']-r['base']:.2f}ms "
+        f"(once: {r['full_once']-r['base']:.2f}ms)")
 
 
 if __name__ == "__main__":

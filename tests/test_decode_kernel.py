@@ -147,6 +147,57 @@ def test_chunked_gap_layout_multi_chunk():
                                np.asarray(probs_x), rtol=2e-5, atol=2e-5)
 
 
+def test_new_token_folding_matches_appended_cache():
+    """Deferred-append mode: folding the un-appended k/v token in-kernel
+    equals attending the cache with the token already appended."""
+    rng = np.random.default_rng(9)
+    q, k, v = make(9)
+    k_new = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    length = jnp.asarray([100, 200], jnp.int32)
+    # Reference: cache with the token appended at slot `length`.
+    k_app = k.at[0, :, 100].set(k_new[0, :, 0]).at[1, :, 200].set(
+        k_new[1, :, 0])
+    v_app = v.at[0, :, 100].set(v_new[0, :, 0]).at[1, :, 200].set(
+        v_new[1, :, 0])
+    pvalid = jnp.broadcast_to(length[:, None], (B, H))
+    mask = slot_mask(length + 1, pvalid, 0, CAP)
+    out_x, _ = decode_attention(q, k_app, v_app, mask)
+    out_p, pr = fused_decode_attention(q, k, v, length, pvalid,
+                                       need_probs=False, new_k=k_new,
+                                       new_v=v_new, chunk=64,
+                                       interpret=True)
+    assert pr is None
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_new_token_folding_sliding_window():
+    rng = np.random.default_rng(10)
+    q, k, v = make(10)
+    k_new = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    length = jnp.asarray([200, 128], jnp.int32)
+    win = 64
+    k_app = k.at[0, :, 200].set(k_new[0, :, 0]).at[1, :, 128].set(
+        k_new[1, :, 0])
+    v_app = v.at[0, :, 200].set(v_new[0, :, 0]).at[1, :, 128].set(
+        v_new[1, :, 0])
+    pvalid = jnp.broadcast_to(length[:, None], (B, H))
+    mask = slot_mask(length + 1, pvalid, 0, CAP)
+    idx = jnp.arange(CAP)
+    mask = mask & (idx[None, None, :] > (length[:, None, None] - win))
+    out_x, _ = decode_attention(q, k_app, v_app, mask)
+    out_p, _ = fused_decode_attention(q, k, v, length, pvalid,
+                                      window=win, need_probs=False,
+                                      new_k=k_new, new_v=v_new, chunk=64,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_model_uses_fused_kernel_identically():
     """End-to-end: pallas_interpret backend == xla backend tokens."""
     comp = CompressionConfig(method="h2o", decoding_metric="fixed",
