@@ -63,13 +63,16 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16
         "layers": {
             "ln_attn": jnp.ones((L, E), dtype),
             "ln_mlp": jnp.ones((L, E), dtype),
-            # Fused q/k/v grouped BY KV HEAD ([.., Hkv, G+2, D]: each kv
-            # head's G query heads, then its k, then its v) — one matmul
-            # per layer instead of three, and TP sharding of the Hkv axis
-            # keeps every shard's q/k/v split local.
-            "wqkv": dense(keys[1], (L, E, Hkv, G + 2, D), E),
+            # Fused q/k/v as ONE flat [E, F] matmul (a >2-D weight makes
+            # XLA:TPU lower the dot catastrophically — measured 3ms/step
+            # slower at 1B).  Columns are grouped BY KV HEAD (each kv
+            # head's G query heads, then its k, then its v), so TP
+            # sharding of the F axis splits on whole kv-head groups and
+            # every shard's q/k/v slice stays local.
+            "wqkv": dense(keys[1], (L, E, Hkv * (G + 2) * D), E),
             "wo": dense(keys[4], (L, Hq * D, E), Hq * D),
-            "w_gate_up": dense(keys[5], (L, E, 2, I), E),
+            "w_gate": dense(keys[5], (L, E, I), E),
+            "w_up": dense(keys[6], (L, E, I), E),
             "w_down": dense(keys[7], (L, I, E), I),
         },
     }
@@ -139,8 +142,7 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
 
     def layer(x, p, layer_idx):
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-        qkv = lax.dot_general(h, p["wqkv"],
-                              (((2,), (0,)), ((), ())))  # [B,S,Hkv,G+2,D]
+        qkv = jnp.dot(h, p["wqkv"]).reshape(B, S, Hkv, G + 2, D)
         q = qkv[:, :, :, :G].reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
         k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
         v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
@@ -158,7 +160,7 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         out = out.transpose(0, 2, 1, 3).reshape(B, S, Hq * D)
         x = x + jnp.dot(out, p["wo"])
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-        x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
+        x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
 
         if comp.evict_per_qhead:
             ck, cv, cq = k_full, v_full, q
@@ -257,19 +259,20 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     # Hot-step fast path: don't append per layer (each in-place
     # dynamic_update_slice costs ~30us of fixed op overhead on TPU —
     # ~1ms/step at 1B scale).  Instead attention folds the step's own
-    # k/v token explicitly, the layer k/v are staged, and ONE stacked
-    # write lands all layers' tokens at the end of the step.  Lengths
-    # are layer-uniform in "off" mode, so a single slice start works.
+    # k/v token explicitly, the layer k/v are staged, and the write
+    # lands all layers' tokens at the end of the step: ONE stacked
+    # dynamic_update_slice when rows share a length, B per-row writes
+    # otherwise (still far fewer ops than 2L per-layer scatters).
+    # "off"-mode lengths are layer-uniform (host-schedulable methods
+    # compress all layers identically), so one slice start per row works.
     defer_append = (compress_mode == "off" and not quest
-                    and cache.prefill_gap == 0
-                    and (B == 1 or ecfg.uniform_lengths))
+                    and cache.prefill_gap == 0)
     staged = []
 
     for l in range(L):
         p = {name: arr[l] for name, arr in lp.items()}
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-        qkv = lax.dot_general(h, p["wqkv"],
-                              (((2,), (0,)), ((), ())))  # [B,1,Hkv,G+2,D]
+        qkv = jnp.dot(h, p["wqkv"]).reshape(B, 1, Hkv, G + 2, D)
         q = qkv[:, :, :, :G].reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
         k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
         v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
@@ -419,14 +422,22 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
         x = x + jnp.dot(out, p["wo"])
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-        x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
+        x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
 
     if defer_append:
         ks = jnp.stack([kk for kk, _ in staged])      # [L, B, Hc, 1, D]
         vs = jnp.stack([vv for _, vv in staged])
-        start = (0, 0, 0, len_all[0, 0], 0)
-        ck_all = lax.dynamic_update_slice(ck_all, ks, start)
-        cv_all = lax.dynamic_update_slice(cv_all, vs, start)
+        if B == 1 or ecfg.uniform_lengths:
+            start = (0, 0, 0, len_all[0, 0], 0)
+            ck_all = lax.dynamic_update_slice(ck_all, ks, start)
+            cv_all = lax.dynamic_update_slice(cv_all, vs, start)
+        else:
+            for b in range(B):
+                sb = (0, b, 0, len_all[0, b], 0)
+                ck_all = lax.dynamic_update_slice(
+                    ck_all, ks[:, b:b + 1], sb)
+                cv_all = lax.dynamic_update_slice(
+                    cv_all, vs[:, b:b + 1], sb)
         len_all = len_all + 1
 
     cache = cache.replace(k=ck_all, v=cv_all, length=len_all, pvalid=pv_all)

@@ -104,16 +104,14 @@ def params_from_state_dict(spec: ModelSpec, tensors: Dict[str, np.ndarray],
             raise ValueError(f"missing {name} for layers {missing}")
         layers[name] = np.stack(vals)
 
-    # Fuse q/k/v into the kv-head-grouped layout [L, E, Hkv, G+2, D] and
-    # gate/up into [L, E, 2, I] (see llama.init_params).
+    # Fuse q/k/v into the flat kv-head-grouped layout
+    # [L, E, Hkv*(G+2)*D] (see llama.init_params).
     L_, E = layers["wq"].shape[:2]
     Hkv, D, G = spec.num_kv_heads, spec.head_dim, spec.num_kv_groups
     q = layers.pop("wq").reshape(L_, E, Hkv, G, D)
     k = layers.pop("wk").reshape(L_, E, Hkv, 1, D)
     v = layers.pop("wv").reshape(L_, E, Hkv, 1, D)
-    layers["wqkv"] = np.concatenate([q, k, v], axis=3)
-    layers["w_gate_up"] = np.stack(
-        [layers.pop("w_gate"), layers.pop("w_up")], axis=2)
+    layers["wqkv"] = np.concatenate([q, k, v], axis=3).reshape(L_, E, -1)
 
     for name, arr in layers.items():
         params["layers"][name] = cast(arr)

@@ -80,14 +80,8 @@ def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     return x.reshape(b, h * n_rep, s, d)
 
 
-def swiglu(x: jnp.ndarray, w_gate_up: jnp.ndarray, w_down: jnp.ndarray
-           ) -> jnp.ndarray:
-    """Fused gate+up projection: one [E, 2, I] matmul instead of two.
-
-    At decode batch sizes every matmul is launch-latency-bound on TPU, so
-    halving the projection count is a direct per-step win; the explicit
-    [.., 2, I] axis (rather than a flat [E, 2I]) keeps tensor-parallel
-    sharding of the I axis boundary-clean."""
-    gu = jax.lax.dot_general(x, w_gate_up,
-                             (((x.ndim - 1,), (0,)), ((), ())))
-    return jnp.dot(jax.nn.silu(gu[..., 0, :]) * gu[..., 1, :], w_down)
+def swiglu(x: jnp.ndarray, w_gate: jnp.ndarray, w_up: jnp.ndarray,
+           w_down: jnp.ndarray) -> jnp.ndarray:
+    g = jnp.dot(x, w_gate)
+    u = jnp.dot(x, w_up)
+    return jnp.dot(jax.nn.silu(g) * u, w_down)

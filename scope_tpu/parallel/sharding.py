@@ -50,13 +50,13 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
         "layers": {
             "ln_attn": P(None, None),
             "ln_mlp": P(None, None),
-            # Fused qkv is grouped by kv head ([L, E, Hkv, G+2, D]), so
-            # sharding the Hkv axis keeps each shard's q/k/v split local.
-            "wqkv": P(None, None, MODEL_AXIS, None, None),
+            # Fused qkv columns are grouped by kv head, so sharding the
+            # flat F axis splits on whole kv-head groups (each shard's
+            # q/k/v slice stays local).
+            "wqkv": P(None, None, MODEL_AXIS),
             "wo": P(None, MODEL_AXIS, None),
-            # Fused gate/up keeps an explicit [.., 2, I] axis so the I
-            # shard boundary never crosses the gate|up seam.
-            "w_gate_up": P(None, None, None, MODEL_AXIS),
+            "w_gate": P(None, None, MODEL_AXIS),
+            "w_up": P(None, None, MODEL_AXIS),
             "w_down": P(None, MODEL_AXIS, None),
         },
     }

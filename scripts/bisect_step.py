@@ -50,11 +50,11 @@ def main():
     lw = params["layers"]
     Lq, Eq = lw["wqkv"].shape[:2]
     Gq = spec.num_kv_groups
-    lw["wq2"] = lw["wqkv"][..., :Gq, :].reshape(Lq, Eq, -1)
-    lw["wk2"] = lw["wqkv"][..., Gq, :].reshape(Lq, Eq, -1)
-    lw["wv2"] = lw["wqkv"][..., Gq + 1, :].reshape(Lq, Eq, -1)
-    lw["w_gate2"] = lw["w_gate_up"][:, :, 0]
-    lw["w_up2"] = lw["w_gate_up"][:, :, 1]
+    w5 = lw["wqkv"].reshape(Lq, Eq, spec.num_kv_heads, Gq + 2,
+                            spec.head_dim)
+    lw["wq2"] = w5[..., :Gq, :].reshape(Lq, Eq, -1)
+    lw["wk2"] = w5[..., Gq, :].reshape(Lq, Eq, -1)
+    lw["wv2"] = w5[..., Gq + 1, :].reshape(Lq, Eq, -1)
     comp = CompressionConfig(
         method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
         window_size=8, decoding_window_size=512, decoding_recent_size=256,
@@ -78,6 +78,72 @@ def main():
             length=jnp.full_like(c.length, cap - args.steps * 3 - 8),
             pvalid=jnp.full_like(c.pvalid, cap - args.steps * 3 - 8))
 
+    def make_cache_sm():
+        """Slot-major layout candidate: [L, B, S, H, D]."""
+        key = jax.random.key(1)
+        shape = (L, B, cap, Hc, D)
+        return dict(
+            k=jax.random.normal(key, shape, dtype),
+            v=jax.random.normal(key, shape, dtype),
+            length=jnp.full((L, B), cap - args.steps * 3 - 8, jnp.int32))
+
+    def step_sm(params, token, vpos, cache, *, do_append, do_attn):
+        """Slot-major cache variant of the hot step."""
+        inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
+        cos, sin = rope_cos_sin(vpos[:, None], inv_freq)
+        x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)
+        lp = params["layers"]
+        ck_all, cv_all = cache["k"], cache["v"]
+        len_all = cache["length"]
+        import math as _m
+        scale = 1.0 / _m.sqrt(D)
+        kv_idx = jnp.arange(cap)
+        for l in range(L):
+            p = {n: a[l] for n, a in lp.items()}
+            h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
+            qkv = jnp.dot(h, p["wqkv"]).reshape(B, 1, Hkv, G + 2, D)
+            q = qkv[:, :, :, :G].reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
+            k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
+            v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            if Hc == Hq:
+                k = repeat_kv(k, G)
+                v = repeat_kv(v, G)
+            # [B, Hc, 1, D] -> slot-major token [B, 1, Hc, D]
+            k_t = k.transpose(0, 2, 1, 3)
+            v_t = v.transpose(0, 2, 1, 3)
+            length = len_all[l]
+            if do_append:
+                start = (l, 0, length[0], 0, 0)
+                ck_all = lax.dynamic_update_slice(ck_all, k_t[None], start)
+                cv_all = lax.dynamic_update_slice(cv_all, v_t[None], start)
+                length = length + 1
+                len_all = len_all.at[l].set(length)
+            if do_attn:
+                ck_v, cv_v = ck_all[l], cv_all[l]      # [B, S, Hc, D]
+                qg = q.reshape(B, Hc, Hq // Hc, D)
+                logits = jnp.einsum("bhgd,bshd->bhgs", qg, ck_v,
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+                mask = kv_idx[None, :] < length[:, None]      # [B, S]
+                logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+                probs = jax.nn.softmax(logits, axis=-1)
+                out = jnp.einsum("bhgs,bshd->bhgd",
+                                 probs.astype(cv_v.dtype), cv_v)
+                out = out.reshape(B, Hq, 1, D)
+            else:
+                out = q + jnp.mean(k, 1, keepdims=True) \
+                    + jnp.mean(v, 1, keepdims=True)
+            out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
+            x = x + jnp.dot(out, p["wo"])
+            h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
+            x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+        cache = dict(k=ck_all, v=cv_all, length=len_all)
+        x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
+        logits = jnp.dot(x[:, 0], params["embed"].T)
+        return logits, cache
+
     def step(params, token, vpos, cache, *, do_append, do_attn,
              append_once=False, unfused=False):
         inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
@@ -99,8 +165,7 @@ def main():
                 v = jnp.dot(h, p["wv2"]).reshape(B, 1, Hkv, D
                                                  ).transpose(0, 2, 1, 3)
             else:
-                qkv = lax.dot_general(h, p["wqkv"],
-                                      (((2,), (0,)), ((), ())))
+                qkv = jnp.dot(h, p["wqkv"]).reshape(B, 1, Hkv, G + 2, D)
                 q = qkv[:, :, :, :G].reshape(B, 1, Hq, D
                                              ).transpose(0, 2, 1, 3)
                 k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
@@ -139,12 +204,7 @@ def main():
             out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
             x = x + jnp.dot(out, p["wo"])
             h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-            if unfused:
-                g = jnp.dot(h2, p["w_gate2"])
-                u = jnp.dot(h2, p["w_up2"])
-                x = x + jnp.dot(jax.nn.silu(g) * u, p["w_down"])
-            else:
-                x = x + swiglu(h2, p["w_gate_up"], p["w_down"])
+            x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
         if append_once:
             ks = jnp.stack([k for k, _ in staged])   # [L, B, Hc, 1, D]
             vs = jnp.stack([v for _, v in staged])
@@ -183,16 +243,42 @@ def main():
         log(f"[{name}] {[f'{t*1e3:.2f}' for t in times]} ms")
         return ms
 
+    def measure_sm(name, do_append, do_attn):
+        cache = make_cache_sm()
+        fn = jax.jit(partial(step_sm, do_append=do_append,
+                             do_attn=do_attn), donate_argnums=(3,))
+        tok = jnp.zeros((B,), jnp.int32) + 7
+        vpos = jnp.full((B,), 4000, jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            logits, cache = fn(params, tok, vpos, cache)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        _ = jax.device_get(tok)
+        log(f"  [{name}] compile+warmup {time.perf_counter()-t0:.1f}s")
+        times = []
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                logits, cache = fn(params, tok, vpos, cache)
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            _ = jax.device_get(tok)
+            times.append((time.perf_counter() - t0) / args.steps)
+        ms = max(times) * 1e3
+        log(f"[{name}] {[f'{t*1e3:.2f}' for t in times]} ms")
+        return ms
+
     r = {}
     r["base"] = measure("base", False, False)
     r["base_unfused"] = measure("base_unfused", False, False, unfused=True)
-    r["base2"] = measure("base2", False, False)
     r["append"] = measure("append", True, False)
     r["append_once"] = measure("append_once", False, False,
                                append_once=True)
     r["attn"] = measure("attn", False, True)
     r["full"] = measure("full", True, True)
     r["full_once"] = measure("full_once", False, True, append_once=True)
+    r["sm_append"] = measure_sm("sm_append", True, False)
+    r["sm_attn"] = measure_sm("sm_attn", False, True)
+    r["sm_full"] = measure_sm("sm_full", True, True)
     log(f"== kvhead={args.kvhead} cap={cap} Hc={Hc}: "
         + "  ".join(f"{k}={v:.2f}ms" for k, v in r.items()))
     log(f"   append cost {r['append']-r['base']:.2f}ms "

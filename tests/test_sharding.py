@@ -75,12 +75,12 @@ def test_sharded_generation_matches_single_device(mesh, method, metric):
 def test_param_sharding_layout(mesh):
     params = llama.init_params(SPEC8, jax.random.key(0), jnp.float32)
     sp = shard_params(params, mesh)
-    # wqkv kv-head axis split over 'model' (4-way): each shard owns whole
-    # kv-head groups, so its q/k/v split is local.
+    # wqkv F axis split over 'model' (4-way): columns are grouped by kv
+    # head, so each shard owns whole kv-head groups (local q/k/v split).
     shard_shape = sp["layers"]["wqkv"].sharding.shard_shape(
         sp["layers"]["wqkv"].shape)
-    assert shard_shape[2] == SPEC8.num_kv_heads // 4
-    assert shard_shape[-2:] == (SPEC8.num_kv_groups + 2, SPEC8.head_dim)
+    group_w = (SPEC8.num_kv_groups + 2) * SPEC8.head_dim
+    assert shard_shape[-1] == SPEC8.num_kv_heads // 4 * group_w
     # norms replicated.
     assert sp["final_norm"].sharding.is_fully_replicated
 
