@@ -157,6 +157,10 @@ class EngineConfig:
     # online-softmax pipelining).  The XLA decode path is near roofline
     # at large caches, so this stays off by default.
     fused_decode_attention: bool = False
+    # Experimental in-place pallas append (ops/pallas/append.py).  Off by
+    # default: buffer aliasing through the runtime is unverified on the
+    # real chip (measured full-copy behavior at jit boundaries).
+    append_kernel: bool = False
     # Promise that all batch rows share identical prompt lengths and hence
     # identical cache lengths/schedules.  Enables the contiguous
     # (single dynamic_update_slice) cache-write fast path for batch > 1;

@@ -427,7 +427,21 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     if defer_append:
         ks = jnp.stack([kk for kk, _ in staged])      # [L, B, Hc, 1, D]
         vs = jnp.stack([vv for _, vv in staged])
-        if B == 1 or ecfg.uniform_lengths:
+        backend = ecfg.resolve_attn_backend()
+        if ecfg.append_kernel and backend in ("pallas",
+                                              "pallas_interpret"):
+            # Experimental in-place tile RMW (input_output_aliases).
+            # Off by default: at a jit boundary the runtime was measured
+            # to COPY the aliased buffers; inside a larger program it is
+            # unverified.  The XLA path below costs ~0.9ms/step (b4, 1B)
+            # in every formulation tried — see scripts/bisect_step.py.
+            from scope_tpu.ops.pallas.append import append_tokens
+            ln = (len_all[0, 0] if (B == 1 or ecfg.uniform_lengths)
+                  else len_all[0])
+            ck_all, cv_all = append_tokens(
+                ck_all, cv_all, ks, vs, ln,
+                interpret=backend == "pallas_interpret")
+        elif B == 1 or ecfg.uniform_lengths:
             start = (0, 0, 0, len_all[0, 0], 0)
             ck_all = lax.dynamic_update_slice(ck_all, ks, start)
             cv_all = lax.dynamic_update_slice(cv_all, vs, start)

@@ -87,7 +87,8 @@ def main():
             v=jax.random.normal(key, shape, dtype),
             length=jnp.full((L, B), cap - args.steps * 3 - 8, jnp.int32))
 
-    def step_sm(params, token, vpos, cache, *, do_append, do_attn):
+    def step_sm(params, token, vpos, cache, *, do_append, do_attn,
+                append_once=False):
         """Slot-major cache variant of the hot step."""
         inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
         cos, sin = rope_cos_sin(vpos[:, None], inv_freq)
@@ -98,6 +99,7 @@ def main():
         import math as _m
         scale = 1.0 / _m.sqrt(D)
         kv_idx = jnp.arange(cap)
+        staged = []
         for l in range(L):
             p = {n: a[l] for n, a in lp.items()}
             h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
@@ -114,7 +116,9 @@ def main():
             k_t = k.transpose(0, 2, 1, 3)
             v_t = v.transpose(0, 2, 1, 3)
             length = len_all[l]
-            if do_append:
+            if append_once:
+                staged.append((k_t, v_t))
+            elif do_append:
                 start = (l, 0, length[0], 0, 0)
                 ck_all = lax.dynamic_update_slice(ck_all, k_t[None], start)
                 cv_all = lax.dynamic_update_slice(cv_all, v_t[None], start)
@@ -139,18 +143,27 @@ def main():
             x = x + jnp.dot(out, p["wo"])
             h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
             x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+        if append_once:
+            ks = jnp.stack([a for a, _ in staged])   # [L, B, 1, Hc, D]
+            vs = jnp.stack([b_ for _, b_ in staged])
+            start = (0, 0, len_all[0, 0], 0, 0)
+            ck_all = lax.dynamic_update_slice(ck_all, ks, start)
+            cv_all = lax.dynamic_update_slice(cv_all, vs, start)
+            len_all = len_all + 1
         cache = dict(k=ck_all, v=cv_all, length=len_all)
         x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
         logits = jnp.dot(x[:, 0], params["embed"].T)
         return logits, cache
 
     def step(params, token, vpos, cache, *, do_append, do_attn,
-             append_once=False, unfused=False):
+             append_once=False, unfused=False, append_mode="big"):
         inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
         cos, sin = rope_cos_sin(vpos[:, None], inv_freq)
         x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)
         lp = params["layers"]
         ck_all, cv_all, len_all = cache.k, cache.v, cache.length
+        ring_k = jnp.zeros((L, B, Hc, 64, D), dtype)
+        ring_v = jnp.zeros((L, B, Hc, 64, D), dtype)
         import math as _m
         scale = 1.0 / _m.sqrt(D)
         staged = []
@@ -178,6 +191,20 @@ def main():
             length = len_all[l]
             if append_once:
                 staged.append((k, v))
+            elif do_append and append_mode == "small":
+                # Same op count/shapes but a tiny (64-slot) ring target.
+                start = (l, 0, 0, length[0] % 64, 0)
+                ring_k = lax.dynamic_update_slice(ring_k, k[None], start)
+                ring_v = lax.dynamic_update_slice(ring_v, v[None], start)
+                length = length + 1
+                len_all = len_all.at[l].set(length)
+            elif do_append and append_mode == "static":
+                # Static start index: discriminates dynamic-index cost.
+                start = (l, 0, 0, 128 + (l % 7), 0)
+                ck_all = lax.dynamic_update_slice(ck_all, k[None], start)
+                cv_all = lax.dynamic_update_slice(cv_all, v[None], start)
+                length = length + 1
+                len_all = len_all.at[l].set(length)
             elif do_append:
                 start = (l, 0, 0, length[0], 0)
                 ck_all = lax.dynamic_update_slice(ck_all, k[None], start)
@@ -212,16 +239,20 @@ def main():
             ck_all = lax.dynamic_update_slice(ck_all, ks, start)
             cv_all = lax.dynamic_update_slice(cv_all, vs, start)
             len_all = len_all + 1
+        if append_mode == "small":
+            # Keep the rings live so DCE can't drop the writes.
+            x = x + ring_k[0, :, 0, :1, 0].astype(x.dtype) * 0                 + ring_v[0, :, 0, :1, 0].astype(x.dtype) * 0
         cache = cache.replace(k=ck_all, v=cv_all, length=len_all)
         x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
         logits = jnp.dot(x[:, 0], params["embed"].T)
         return logits, cache
 
     def measure(name, do_append, do_attn, append_once=False,
-                unfused=False):
+                unfused=False, append_mode="big"):
         cache = make_cache()
         fn = jax.jit(partial(step, do_append=do_append, do_attn=do_attn,
-                             append_once=append_once, unfused=unfused),
+                             append_once=append_once, unfused=unfused,
+                             append_mode=append_mode),
                      donate_argnums=(3,))
         tok = jnp.zeros((B,), jnp.int32) + 7
         vpos = jnp.full((B,), 4000, jnp.int32)
@@ -243,10 +274,11 @@ def main():
         log(f"[{name}] {[f'{t*1e3:.2f}' for t in times]} ms")
         return ms
 
-    def measure_sm(name, do_append, do_attn):
+    def measure_sm(name, do_append, do_attn, append_once=False):
         cache = make_cache_sm()
         fn = jax.jit(partial(step_sm, do_append=do_append,
-                             do_attn=do_attn), donate_argnums=(3,))
+                             do_attn=do_attn, append_once=append_once),
+                     donate_argnums=(3,))
         tok = jnp.zeros((B,), jnp.int32) + 7
         vpos = jnp.full((B,), 4000, jnp.int32)
         t0 = time.perf_counter()
@@ -269,23 +301,17 @@ def main():
 
     r = {}
     r["base"] = measure("base", False, False)
-    r["base_unfused"] = measure("base_unfused", False, False, unfused=True)
     r["append"] = measure("append", True, False)
-    r["append_once"] = measure("append_once", False, False,
-                               append_once=True)
-    r["attn"] = measure("attn", False, True)
+    r["append_small"] = measure("append_small", True, False,
+                                append_mode="small")
+    r["append_static"] = measure("append_static", True, False,
+                                 append_mode="static")
     r["full"] = measure("full", True, True)
-    r["full_once"] = measure("full_once", False, True, append_once=True)
-    r["sm_append"] = measure_sm("sm_append", True, False)
-    r["sm_attn"] = measure_sm("sm_attn", False, True)
-    r["sm_full"] = measure_sm("sm_full", True, True)
     log(f"== kvhead={args.kvhead} cap={cap} Hc={Hc}: "
         + "  ".join(f"{k}={v:.2f}ms" for k, v in r.items()))
     log(f"   append cost {r['append']-r['base']:.2f}ms "
-        f"(once: {r['append_once']-r['base']:.2f}ms), "
-        f"attn cost {r['attn']-r['base']:.2f}ms, "
-        f"full-vs-base {r['full']-r['base']:.2f}ms "
-        f"(once: {r['full_once']-r['base']:.2f}ms)")
+        f"(small: {r['append_small']-r['base']:.2f}ms, "
+        f"static: {r['append_static']-r['base']:.2f}ms)")
 
 
 if __name__ == "__main__":
