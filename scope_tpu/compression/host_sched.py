@@ -17,8 +17,9 @@ multiple ms/step of XLA cond/copy overhead — while remaining bit-identical
 to the device-counter path (tested in tests/test_host_sched.py).
 
 Supported: the batch-uniform methods (h2o/snapkv/streamingllm/allkv/
-fullkv) x metrics (none/fixed/linear/jump).  Per-layer-budget methods
-(pyramidkv) and quest/headwise keep the device-side path.
+fullkv) x metrics (none/fixed/linear/jump) via :class:`HostScheduler`,
+and pyramidkv (per-layer budgets) via :class:`LayeredHostScheduler` with
+per-layer fire masks.  quest/headwise keep the device-side path.
 """
 
 from __future__ import annotations
@@ -30,9 +31,47 @@ from scope_tpu.config import CompressionConfig
 
 
 def host_schedulable(comp: CompressionConfig) -> bool:
+    """Methods whose cache length is ONE deterministic stream (layer-
+    uniform): the host mirrors a single length/counter set."""
     return (comp.method in ("fullkv", "allkv", "h2o", "snapkv",
                             "streamingllm")
             and comp.decoding_metric in ("none", "fixed", "linear", "jump"))
+
+
+def host_schedulable_layered(comp: CompressionConfig) -> bool:
+    """PyramidKV: per-LAYER prefill budgets make lengths (and hence fire
+    steps) differ per layer, but they are still deterministic — the host
+    mirrors L length streams and dispatches per-layer fire masks."""
+    return (comp.method == "pyramidkv"
+            and comp.decoding_metric in ("none", "fixed", "linear",
+                                         "jump"))
+
+
+def pyramid_prefill_kept(comp: CompressionConfig, num_layers: int,
+                         prompt_len: int, prompt_bucket: int) -> list:
+    """Host mirror of the PyramidKV prefill kept-count per layer
+    (compression/policies.py pyramidkv branch; kv_utils.py:150-160).
+
+    prompt_bucket is the padded prompt length S_pad (the device skips
+    compression entirely when S_pad <= P, policies.py:119-125)."""
+    P, w, beta = (comp.max_capacity_prompt, comp.window_size, comp.beta)
+    if prompt_bucket <= P or prompt_len < P:
+        return [prompt_len] * num_layers
+    q_len = prompt_len
+    min_num = (P - w) // beta
+    max_num = (P - w) * 2 - min_num
+    over = max_num >= q_len - w
+    max_num_d = (q_len - w) if over else max_num
+    lo = ((P - w) * 2 - max_num_d) if over else min_num
+    steps = (max_num_d - lo) // num_layers
+    mid = q_len < (P - w) * 2
+    kept = []
+    for l in range(num_layers):
+        budget_l = max_num_d - l * steps
+        n_keep = P if mid else budget_l
+        n_keep = max(0, min(n_keep, q_len - w))
+        kept.append(n_keep + w)
+    return kept
 
 
 @dataclass
@@ -40,6 +79,13 @@ class StepPlan:
     fire: bool
     n_keep: int = 0          # tokens kept from the scored region
     w_t: int = 0             # current decode window budget
+
+
+@dataclass
+class LayeredStepPlan:
+    fire_any: bool
+    fire: list               # [L] bool
+    n_keep: list             # [L] int
 
 
 class HostScheduler:
@@ -111,3 +157,75 @@ class HostScheduler:
                             self.length - r - self.pseg))
         self.length = self.pseg + n_keep + r
         return StepPlan(fire=True, n_keep=n_keep, w_t=w_t)
+
+
+class LayeredHostScheduler:
+    """Per-layer host mirror for PyramidKV's layer-decayed budgets.
+
+    Prefill keeps a different count per layer (pyramid budgets), so each
+    layer's cache length — and therefore its fire step — differs.  The
+    counters themselves stay scalar (reference class attributes,
+    kv_utils.py:92-94): one increment per layer CALL, exactly like the
+    device path (schedulers.schedule_decision called once per layer)."""
+
+    def __init__(self, comp: CompressionConfig, num_layers: int,
+                 prompt_len: int, prompt_pad: int, keep_cap: int,
+                 capacity: int):
+        self.comp = comp
+        self.L = num_layers
+        self.pseg = comp.max_capacity_prompt
+        self.lengths = pyramid_prefill_kept(comp, num_layers, prompt_len,
+                                            prompt_pad)
+        self.keep_cap = min(keep_cap, capacity)
+        self.capacity = capacity
+        self.step_counter = 0
+        self.jump_step = 0
+        self.jump_layer = 0
+
+    def plan_step(self) -> LayeredStepPlan:
+        comp = self.comp
+        m = comp.decoding_metric
+        W = comp.decoding_window_size
+        r = comp.decoding_recent_size
+        thresh = comp.delta * self.L
+        fire = [False] * self.L
+        n_keep = [0] * self.L
+        for l in range(self.L):
+            self.lengths[l] += 1
+            if m == "none":
+                continue
+            if m == "fixed":
+                w_t = W
+                gate = self.lengths[l] >= self.pseg + W
+                f = gate
+            else:
+                w_t = r + self.step_counter // thresh
+                self.step_counter += 1
+                gate = self.lengths[l] >= self.pseg + w_t
+                if m == "linear":
+                    f = gate
+                else:            # jump: wave machinery per layer call
+                    counting = gate and self.jump_step < thresh
+                    wave = gate and self.jump_step >= thresh
+                    if counting:
+                        self.jump_step += 1
+                    if wave:
+                        self.jump_layer += 1
+                    if self.jump_layer >= self.L:
+                        self.jump_step = 0
+                        self.jump_layer = 0
+                    f = gate and wave
+            if f:
+                nk = max(0, min(w_t - r,
+                                max(self.lengths[l] - r - self.pseg, 0)))
+                nk = min(nk, self.keep_cap,
+                         self.capacity - r - self.pseg)
+                n_keep[l] = nk
+                fire[l] = True
+                self.lengths[l] = self.pseg + nk + r
+        return LayeredStepPlan(fire_any=any(fire), fire=fire,
+                               n_keep=n_keep)
+
+    @property
+    def length(self) -> int:
+        return max(self.lengths)

@@ -110,9 +110,10 @@ class StreamingGenerator:
         # Host-orchestrated scheduling when the gates are deterministic:
         # the hot decode program then carries no compression machinery.
         # (metric "none" also benefits: length-bucketed attention.)
-        from scope_tpu.compression.host_sched import host_schedulable
+        from scope_tpu.compression.host_sched import (
+            host_schedulable, host_schedulable_layered)
         self._host_dec = None
-        if host_schedulable(comp):
+        if host_schedulable(comp) or host_schedulable_layered(comp):
             from scope_tpu.engine.host_loop import HostScheduledDecoder
             self._host_dec = HostScheduledDecoder(spec, comp, ecfg)
         self._decode = jax.jit(partial(llama.decode_step, spec, comp, ecfg))
@@ -129,7 +130,8 @@ class StreamingGenerator:
         out = [tok]
         done = tok in self.eos_ids
         s = 0
-        sched = (self._host_dec.new_scheduler(int(true_len[0]))
+        sched = (self._host_dec.new_scheduler(int(true_len[0]),
+                                              prompt_pad=tokens.shape[1])
                  if self._host_dec is not None else None)
         while not done and len(out) < max_new:
             vpos = tl + s

@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scope_tpu.compression.host_sched import HostScheduler, host_schedulable
+from scope_tpu.compression.host_sched import (HostScheduler,
+                                              LayeredHostScheduler,
+                                              host_schedulable,
+                                              host_schedulable_layered)
 from scope_tpu.compression.schedulers import static_keep_cap
 from scope_tpu.config import CompressionConfig, EngineConfig, ModelSpec
 from scope_tpu.models import llama
@@ -27,7 +30,8 @@ from scope_tpu.models import llama
 class HostScheduledDecoder:
     def __init__(self, spec: ModelSpec, comp: CompressionConfig,
                  ecfg: EngineConfig):
-        if not host_schedulable(comp):
+        self._layered = host_schedulable_layered(comp)
+        if not (host_schedulable(comp) or self._layered):
             raise ValueError(
                 f"{comp.method}+{comp.decoding_metric} needs the device "
                 f"scheduler; use decode_step(compress_mode='cond')")
@@ -55,7 +59,8 @@ class HostScheduledDecoder:
         if fn is None:
             fn = jax.jit(
                 partial(llama.decode_step, self.spec, self.comp, self.ecfg,
-                        compress_mode="off", attn_cap=bucket),
+                        compress_mode="off", attn_cap=bucket,
+                        layer_uniform_lengths=not self._layered),
                 donate_argnums=(3,))
             self._step_fns[bucket] = fn
         return fn
@@ -66,8 +71,15 @@ class HostScheduledDecoder:
                 return b
         return self._capacity
 
-    def new_scheduler(self, prompt_len: int) -> HostScheduler:
+    def new_scheduler(self, prompt_len: int,
+                      prompt_pad: Optional[int] = None):
         comp = self.comp
+        if self._layered:
+            pad = prompt_pad if prompt_pad is not None else \
+                self.ecfg.bucket_for(prompt_len)
+            return LayeredHostScheduler(comp, self.spec.num_layers,
+                                        prompt_len, pad, self._keep_cap,
+                                        self._capacity)
         if comp.method in ("fullkv", "allkv"):
             kept = prompt_len
         else:
@@ -75,10 +87,24 @@ class HostScheduledDecoder:
         return HostScheduler(comp, self.spec.num_layers, prompt_len, kept,
                              self._keep_cap)
 
-    def step(self, sched: HostScheduler, params, tok, vpos, cache, state):
+    def step(self, sched, params, tok, vpos, cache, state):
         plan = sched.plan_step()
+        B = tok.shape[0]
+        if self._layered:
+            if plan.fire_any:
+                gate = jnp.asarray(np.broadcast_to(
+                    np.asarray(plan.fire, bool)[:, None],
+                    (self.spec.num_layers, B)))
+                n_keep = jnp.asarray(np.broadcast_to(
+                    np.asarray(plan.n_keep, np.int32)[:, None],
+                    (self.spec.num_layers, B)))
+                return self._step_force(params, tok, vpos, cache, state,
+                                        force_n_keep=n_keep,
+                                        force_row_gate=gate)
+            bucket = self._bucket_for(sched.length)
+            return self._step_off(bucket)(params, tok, vpos, cache, state)
         if plan.fire:
-            n_keep = jnp.full((tok.shape[0],), plan.n_keep, jnp.int32)
+            n_keep = jnp.full((B,), plan.n_keep, jnp.int32)
             return self._step_force(params, tok, vpos, cache, state,
                                     force_n_keep=n_keep)
         bucket = self._bucket_for(sched.length)
@@ -102,7 +128,8 @@ def host_generate(spec: ModelSpec, comp: CompressionConfig,
     logits, cache, state = prefill(params, tokens_j, tl)
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     timestamps = [time.perf_counter()]
-    sched = dec.new_scheduler(int(true_len[0]))
+    sched = dec.new_scheduler(int(true_len[0]),
+                              prompt_pad=tokens.shape[1])
     eos = set(int(e) for e in eos_ids)
 
     out = [np.asarray(tok)]

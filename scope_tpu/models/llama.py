@@ -210,7 +210,8 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 compress_mode: str = "cond",
                 force_n_keep: Optional[jnp.ndarray] = None,
                 force_row_gate: Optional[jnp.ndarray] = None,
-                attn_cap: Optional[int] = None
+                attn_cap: Optional[int] = None,
+                layer_uniform_lengths: bool = True
                 ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
     """One decode step.  token: [B] int32 (the token being fed); vpos: [B]
     its virtual position (true_len + step).  Returns next-token logits.
@@ -263,10 +264,10 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     # lands all layers' tokens at the end of the step: ONE stacked
     # dynamic_update_slice when rows share a length, B per-row writes
     # otherwise (still far fewer ops than 2L per-layer scatters).
-    # "off"-mode lengths are layer-uniform (host-schedulable methods
-    # compress all layers identically), so one slice start per row works.
+    # Requires layer-uniform lengths (one slice start per row); pyramidkv
+    # host scheduling passes layer_uniform_lengths=False.
     defer_append = (compress_mode == "off" and not quest
-                    and cache.prefill_gap == 0)
+                    and cache.prefill_gap == 0 and layer_uniform_lengths)
     staged = []
 
     for l in range(L):
@@ -367,10 +368,18 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 else:
                     pseg = jnp.full((B,), comp.max_capacity_prompt,
                                     jnp.int32)
-                row_gate = (jnp.ones((B,), bool) if force_row_gate is None
-                            else force_row_gate)
+                # force_row_gate / force_n_keep: [B] (uniform layers) or
+                # [L, B] (per-layer fire masks — pyramidkv budgets).
+                if force_row_gate is None:
+                    row_gate = jnp.ones((B,), bool)
+                elif force_row_gate.ndim == 2:
+                    row_gate = force_row_gate[l]
+                else:
+                    row_gate = force_row_gate
+                nk = (force_n_keep[l] if force_n_keep.ndim == 2
+                      else force_n_keep)
                 src_blk, new_len = block_map(
-                    comp, st.caps, probs, length, pseg, force_n_keep,
+                    comp, st.caps, probs, length, pseg, nk,
                     row_gate, False)
                 blkW = block_width(comp, st.caps)
                 srcc = jnp.clip(jnp.broadcast_to(src_blk, (B, Hc, blkW)),

@@ -93,10 +93,34 @@ def test_host_generate_end_to_end():
 
 
 def test_not_host_schedulable():
-    comp = CompressionConfig(method="pyramidkv", decoding_metric="fixed",
+    comp = CompressionConfig(method="quest", decoding_metric="fixed",
                              max_capacity_prompt=64, window_size=8,
                              decoding_window_size=32,
                              decoding_recent_size=16, delta=3)
     assert not host_schedulable(comp)
     with pytest.raises(ValueError):
         HostScheduledDecoder(TINY_LLAMA, comp, ECFG)
+
+
+@pytest.mark.parametrize("metric", ["fixed", "linear", "jump", "none"])
+def test_pyramidkv_layered_host_equals_device(metric):
+    """PyramidKV: per-layer budgets give per-layer lengths/fire steps —
+    the layered host mirror must match the device path token-for-token
+    AND length-for-length per layer."""
+    comp = CompressionConfig(method="pyramidkv", decoding_metric=metric,
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3, beta=4)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(2), jnp.float32)
+    rng = np.random.default_rng(2)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+
+    dev_seq, dev_cache = device_path(comp, params, toks, tl, STEPS)
+    host_seq, host_cache, sched = host_path(comp, params, toks, tl, STEPS)
+
+    np.testing.assert_array_equal(dev_seq, host_seq)
+    np.testing.assert_array_equal(np.asarray(dev_cache.length),
+                                  np.asarray(host_cache.length))
+    np.testing.assert_array_equal(
+        np.asarray(host_cache.length)[:, 0], np.asarray(sched.lengths))
