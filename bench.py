@@ -192,13 +192,13 @@ def main():
     # compares best-per-chip serving throughput.
     tps_scope4, tps_full4 = run_pair(spec, params, 4)
     log(f"[batch=4] same-batch speedup: {tps_scope4 / tps_full4:.2f}x")
-    try:
-        tps_scope8 = run_scope_only(spec, params, 8)
-    except Exception as e:
-        log(f"batch=8 scope run failed ({e}); falling back to batch 4")
-        tps_scope8 = tps_scope4
-
-    tps_scope = max(tps_scope8, tps_scope4)
+    tps_scope = tps_scope4
+    for b in (16, 8):   # largest serving batch that fits (measured: 16)
+        try:
+            tps_scope = max(tps_scope, run_scope_only(spec, params, b))
+            break
+        except Exception as e:
+            log(f"batch={b} scope run failed ({e}); trying smaller")
     result = {
         "metric": ("decode_tok_per_s_1B_scope_h2o_jump_best_batch"
                    "_vs_fullcache_10k_best_batch"),

@@ -42,6 +42,11 @@ class KVCache:
     # step; the math is identical - see compression/quest.py).
     page_min: Optional[jnp.ndarray] = None     # [L, B, H, NP, D]
     page_max: Optional[jnp.ndarray] = None     # [L, B, H, NP, D]
+    # Per-channel int8 quantization scales (kv_dtype="int8"): k/v are
+    # int8 and true_k = k * k_scale[l, b, h, None, :].  Calibrated once
+    # at prefill; slot-axis-free, so eviction gathers never touch them.
+    k_scale: Optional[jnp.ndarray] = None      # [L, B, H, D] f32
+    v_scale: Optional[jnp.ndarray] = None      # [L, B, H, D] f32
 
     @property
     def num_layers(self):
@@ -54,12 +59,15 @@ class KVCache:
 
 def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
                head_dim: int, dtype, prefill_gap: int = 0,
-               with_pages: bool = False, num_pages: int = 0) -> KVCache:
+               with_pages: bool = False, num_pages: int = 0,
+               kv_dtype: str = "") -> KVCache:
+    store = jnp.int8 if kv_dtype == "int8" else dtype
     shape = (num_layers, batch, num_heads, capacity, head_dim)
-    zeros = jnp.zeros(shape, dtype)
+    sshape = (num_layers, batch, num_heads, head_dim)
+    int8 = kv_dtype == "int8"
     return KVCache(
-        k=zeros,
-        v=jnp.zeros(shape, dtype),
+        k=jnp.zeros(shape, store),
+        v=jnp.zeros(shape, store),
         length=jnp.zeros((num_layers, batch), jnp.int32),
         pvalid=jnp.zeros((num_layers, batch, num_heads), jnp.int32),
         prefill_gap=prefill_gap,
@@ -68,6 +76,8 @@ def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
                              head_dim), dtype) if with_pages else None),
         page_max=(jnp.zeros((num_layers, batch, num_heads, num_pages,
                              head_dim), dtype) if with_pages else None),
+        k_scale=jnp.ones(sshape, jnp.float32) if int8 else None,
+        v_scale=jnp.ones(sshape, jnp.float32) if int8 else None,
     )
 
 

@@ -146,6 +146,12 @@ class EngineConfig:
     max_new_tokens: int = 4096
     prompt_pad_multiple: int = 128
     dtype: str = "bfloat16"
+    # KV cache storage dtype: "bfloat16" (matches compute dtype) or
+    # "int8" (per-channel symmetric quantization calibrated once at
+    # prefill: scales fold into q / the attention output, so the hot
+    # decode path reads half the HBM bytes with two extra elementwise
+    # ops per layer; compression gathers move int8 values unchanged).
+    kv_dtype: str = "bfloat16"
     # Upcast attention logits/softmax to f32 (reference: kv_utils.py:656).
     softmax_f32: bool = True
     # Prefill attention backend: "auto" (pallas on TPU, xla elsewhere),

@@ -8,10 +8,11 @@ decode steps (prefill writes one batch row of the shared cache), and all
 active slots decode together in one jitted step.
 
 Compression: per-row gates make `none` and `fixed` correct per request
-(each row fires on its own length, kv_utils.py:701-730).  linear/jump use
-globally-shared step counters in the reference — meaningless across
-requests at different phases — so they are rejected here; use the
-dedicated generators for single-stream linear/jump runs.
+(each row fires on its own length, kv_utils.py:701-730); linear/jump run
+per-slot counter streams (SchedState.init(batch) — the reference's
+process-global class-attribute counters cannot serve concurrent
+requests).  Host-schedulable methods dispatch bucketed hot steps and
+per-row force steps from per-slot schedule mirrors.
 """
 
 from __future__ import annotations
@@ -78,7 +79,8 @@ class ServingEngine:
         from scope_tpu.cache import init_cache
         self.cache = init_cache(spec.num_layers, max_slots, st.cache_heads,
                                 st.capacity, spec.head_dim,
-                                jnp.dtype(ecfg.dtype))
+                                jnp.dtype(ecfg.dtype),
+                                kv_dtype=ecfg.kv_dtype)
         # Per-slot counters: each slot is an independent request stream
         # with its own linear/jump schedule (reference counters are
         # process-global and cannot serve concurrent requests).
@@ -113,6 +115,10 @@ class ServingEngine:
             length=c.length.at[:, slot].set(r.length[:, 0]),
             pvalid=c.pvalid.at[:, slot].set(r.pvalid[:, 0]),
             prompt_len=c.prompt_len.at[slot].set(prompt_len),
+            k_scale=(put(c.k_scale, r.k_scale)
+                     if c.k_scale is not None else None),
+            v_scale=(put(c.v_scale, r.v_scale)
+                     if c.v_scale is not None else None),
         )
         self.cur_tok[slot] = tok0
         self.vpos[slot] = prompt_len

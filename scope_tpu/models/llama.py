@@ -185,9 +185,20 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         body, x, (lp, jnp.arange(L)))
 
     gap = comp.headwise_max_budget if comp.method == "headwise" else 0
+    ks_scale = vs_scale = None
+    if ecfg.kv_dtype == "int8":
+        if comp.method == "quest":
+            raise NotImplementedError(
+                "int8 KV + quest page metadata not supported yet")
+        from scope_tpu.ops import quant
+        ks_scale = quant.calibrate(cks)          # [L, B, Hc, D]
+        vs_scale = quant.calibrate(cvs)
+        cks = quant.quantize(cks, ks_scale)
+        cvs = quant.quantize(cvs, vs_scale)
     cache = KVCache(k=cks, v=cvs, length=lens, pvalid=pvalids,
                     prefill_gap=gap, prompt_len=true_len,
-                    page_min=None, page_max=None)
+                    page_min=None, page_max=None,
+                    k_scale=ks_scale, v_scale=vs_scale)
     if comp.method == "quest":
         from scope_tpu.compression.quest import build_page_metadata
         cache = build_page_metadata(comp, cache, true_len)
@@ -268,6 +279,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     # host scheduling passes layer_uniform_lengths=False.
     defer_append = (compress_mode == "off" and not quest
                     and cache.prefill_gap == 0 and layer_uniform_lengths)
+    int8_kv = ecfg.kv_dtype == "int8"
     staged = []
 
     for l in range(L):
@@ -282,6 +294,17 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         if comp.evict_per_qhead:
             k = repeat_kv(k, G)
             v = repeat_kv(v, G)
+        if int8_kv:
+            # Store the token quantized; fold the per-channel K scale
+            # into q (q.k = sum_d (q_d * s_d) * kint_d) so attention
+            # reads int8 bytes with no per-slot dequant.
+            from scope_tpu.ops import quant
+            ks_l, vs_l = cache.k_scale[l], cache.v_scale[l]  # [B,Hc,D]
+            k = quant.quantize(k, ks_l)
+            v = quant.quantize(v, vs_l)
+            q = (q.reshape(B, Hc, Hq // Hc, D)
+                 * ks_l[:, :, None, :].astype(q.dtype)
+                 ).reshape(B, Hq, 1, D)
 
         # In-place append at (l, b, :, length[b], :) on the stacked buffer.
         # B==1 fast path: one dynamic_update_slice (a general scatter is
@@ -311,7 +334,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         backend = ecfg.resolve_attn_backend()
         use_fused = (ecfg.fused_decode_attention
                      and backend in ("pallas", "pallas_interpret")
-                     and not quest)
+                     and not quest and not int8_kv)
         # Eviction scores are only consumed on steps that may compress;
         # hot host-scheduled steps skip materialising them entirely.
         need_probs = (comp.decoding_metric != "none"
@@ -360,6 +383,11 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 out, probs = _grouped_decode_attention(
                     q, ck_v, cv_v, mask, G,
                     softmax_f32=ecfg.softmax_f32)
+            if int8_kv:
+                # Per-channel V scale folds into the attention output.
+                out = (out.reshape(B, Hc, Hq // Hc, D)
+                       * vs_l[:, :, None, :].astype(out.dtype)
+                       ).reshape(B, Hq, 1, D)
             if comp.decoding_metric != "none" and compress_mode == "force":
                 from scope_tpu.compression.schedulers import (block_map,
                                                               block_width)
@@ -482,17 +510,18 @@ def _deferred_decode_attention(q, cache_k, cache_v, mask, k_new, v_new, *,
     scale = 1.0 / math.sqrt(D)
     acc = jnp.float32 if softmax_f32 else q.dtype
     qg = q.reshape(B, Hc, Hq // Hc, D)
-    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k,
+    cd = q.dtype if cache_k.dtype == jnp.int8 else cache_k.dtype
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k.astype(cd),
                         preferred_element_type=acc) * scale
     logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
-    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, k_new,
+    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, k_new.astype(cd),
                        preferred_element_type=acc) * scale
     probs = jax.nn.softmax(
         jnp.concatenate([logits, l_new], axis=-1).astype(jnp.float32),
         axis=-1)
     out = (jnp.einsum("bhgs,bhsd->bhgd",
-                      probs[..., :-1].astype(cache_v.dtype), cache_v)
-           + probs[..., -1:].astype(v_new.dtype) * v_new)
+                      probs[..., :-1].astype(cd), cache_v.astype(cd))
+           + probs[..., -1:].astype(cd) * v_new.astype(cd))
     return out.reshape(B, Hq, 1, D)
 
 
@@ -510,10 +539,12 @@ def _grouped_decode_attention(q, cache_k, cache_v, mask, groups, *,
     scale = 1.0 / math.sqrt(D)
     acc = jnp.float32 if softmax_f32 else q.dtype
     qg = q.reshape(B, Hkv, Hq // Hkv, D)
-    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k,
+    cd = q.dtype if cache_k.dtype == jnp.int8 else cache_k.dtype
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k.astype(cd),
                         preferred_element_type=acc) * scale
     logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cache_v.dtype), cache_v)
+    out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
+                     cache_v.astype(cd))
     out = out.reshape(B, Hq, 1, D)
     return out, probs.sum(axis=2)

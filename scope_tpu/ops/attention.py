@@ -202,9 +202,13 @@ def decode_attention(
     D = q.shape[-1]
     scale = 1.0 / math.sqrt(D)
     acc = jnp.float32 if softmax_f32 else q.dtype
-    logits = jnp.einsum("bhqd,bhsd->bhqs", q, cache_k,
+    # int8 caches: converts fuse into the matmul operand loads, so the
+    # HBM reads stay int8-sized (scales are folded by the caller).
+    cd = q.dtype if cache_k.dtype == jnp.int8 else cache_k.dtype
+    logits = jnp.einsum("bhqd,bhsd->bhqs", q, cache_k.astype(cd),
                         preferred_element_type=acc) * scale
     logits = jnp.where(slot_mask[:, :, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhqs,bhsd->bhqd", probs.astype(cache_v.dtype), cache_v)
+    out = jnp.einsum("bhqs,bhsd->bhqd", probs.astype(cd),
+                     cache_v.astype(cd))
     return out, probs[:, :, 0, :]

@@ -1,0 +1,49 @@
+"""Int8 KV-cache quantization (per-channel, prefill-calibrated).
+
+true_k = k_int8 * scale[..., None, :] with one scale per (layer, batch
+row, cache head, channel).  Per-CHANNEL (not per-slot) scales are the
+TPU-friendly choice here:
+
+- the scale folds into the query before the logit matmul
+  (q_eff = q * ks, since q.k = sum_d q_d * s_d * kint_d) and into the
+  attention output after the value matmul — two tiny elementwise ops per
+  layer, nothing per cache slot;
+- eviction gathers (compression/*) move int8 values only; the scales
+  have no slot axis, so the entire compression matrix works unchanged;
+- K channels are where RoPE-induced outliers live, which is what
+  per-channel scaling captures.
+
+Calibration happens once per request on the compressed prefill cache
+with a safety margin for later decode tokens; out-of-range decode values
+saturate at +/-127.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Headroom for decode-phase tokens exceeding the prefill calibration
+# range before saturation.
+MARGIN = 1.25
+
+
+def calibrate(x: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
+    """Per-channel scale over the slot axis.  x: [..., S, D] -> [..., D]
+    f32."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis)
+    return jnp.maximum(amax * MARGIN, 1e-6) / 127.0
+
+
+def quantize(x: jnp.ndarray, scale: jnp.ndarray, axis: int = -2
+             ) -> jnp.ndarray:
+    """x: [..., S, D], scale: [..., D] -> int8 [..., S, D]."""
+    s = jnp.expand_dims(scale, axis)
+    q = jnp.round(x.astype(jnp.float32) / s)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def dequantize(x_int: jnp.ndarray, scale: jnp.ndarray, axis: int = -2,
+               dtype=jnp.bfloat16) -> jnp.ndarray:
+    s = jnp.expand_dims(scale, axis)
+    return (x_int.astype(jnp.float32) * s).astype(dtype)

@@ -79,6 +79,10 @@ def cache_pspecs(cache) -> Any:
         prompt_len=P(DATA_AXIS),
         page_min=pages if cache.page_min is not None else None,
         page_max=pages if cache.page_max is not None else None,
+        k_scale=(P(None, DATA_AXIS, MODEL_AXIS, None)
+                 if cache.k_scale is not None else None),
+        v_scale=(P(None, DATA_AXIS, MODEL_AXIS, None)
+                 if cache.v_scale is not None else None),
     )
 
 
@@ -110,6 +114,8 @@ def shard_cache(cache, mesh: Mesh):
         prompt_len=put(cache.prompt_len, ps.prompt_len),
         page_min=put(cache.page_min, ps.page_min),
         page_max=put(cache.page_max, ps.page_max),
+        k_scale=put(cache.k_scale, ps.k_scale),
+        v_scale=put(cache.v_scale, ps.v_scale),
     )
 
 
