@@ -160,7 +160,8 @@ def run_pair(spec, params, batch, prompt_len=2048):
     return tps_scope, tps_full
 
 
-def run_scope_only(spec, params, batch, prompt_len=2048):
+def run_scope_only(spec, params, batch, prompt_len=2048,
+                   kv_dtype="bfloat16"):
     from scope_tpu.config import CompressionConfig, EngineConfig
 
     comp = CompressionConfig(
@@ -168,9 +169,10 @@ def run_scope_only(spec, params, batch, prompt_len=2048):
         window_size=8, decoding_window_size=512, decoding_recent_size=256,
         delta=(7950 - 256) // (512 - 256))
     ecfg = EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
-                        dtype="bfloat16", uniform_lengths=True)
+                        dtype="bfloat16", uniform_lengths=True,
+                        kv_dtype=kv_dtype)
     tps = measure_decode(spec, comp, ecfg, params, prompt_len, batch=batch)
-    log(f"[batch={batch}] scope decode: {tps:.1f} tok/s")
+    log(f"[batch={batch} kv={kv_dtype}] scope decode: {tps:.1f} tok/s")
     return tps
 
 

@@ -175,26 +175,33 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                                true_len, st.capacity)
         return x, res
 
+    int8_kv = ecfg.kv_dtype == "int8"
+    if int8_kv and comp.method == "quest":
+        raise NotImplementedError(
+            "int8 KV + quest page metadata not supported yet")
+
     def body(carry, xs):
         x = carry
         p, layer_idx = xs
         x, res = layer(x, p, layer_idx)
-        return x, (res.cache_k, res.cache_v, res.length, res.pvalid)
+        ck, cv = res.cache_k, res.cache_v
+        if int8_kv:
+            # Quantize inside the scan so the full-precision cache of
+            # ALL layers is never live at once (memory 2x at prefill).
+            from scope_tpu.ops import quant
+            ks = quant.calibrate(ck)             # [B, Hc, D]
+            vs = quant.calibrate(cv)
+            return x, (quant.quantize(ck, ks), quant.quantize(cv, vs),
+                       res.length, res.pvalid, ks, vs)
+        return x, (ck, cv, res.length, res.pvalid, jnp.zeros(()),
+                   jnp.zeros(()))
 
-    x, (cks, cvs, lens, pvalids) = lax.scan(
+    x, (cks, cvs, lens, pvalids, ks_scale, vs_scale) = lax.scan(
         body, x, (lp, jnp.arange(L)))
 
     gap = comp.headwise_max_budget if comp.method == "headwise" else 0
-    ks_scale = vs_scale = None
-    if ecfg.kv_dtype == "int8":
-        if comp.method == "quest":
-            raise NotImplementedError(
-                "int8 KV + quest page metadata not supported yet")
-        from scope_tpu.ops import quant
-        ks_scale = quant.calibrate(cks)          # [L, B, Hc, D]
-        vs_scale = quant.calibrate(cvs)
-        cks = quant.quantize(cks, ks_scale)
-        cvs = quant.quantize(cvs, vs_scale)
+    if not int8_kv:
+        ks_scale = vs_scale = None
     cache = KVCache(k=cks, v=cvs, length=lens, pvalid=pvalids,
                     prefill_gap=gap, prompt_len=true_len,
                     page_min=None, page_max=None,
