@@ -114,6 +114,32 @@ def _group_scores(scores: Optional[jnp.ndarray], groups: int):
     return scores.reshape(B, Hq // groups, groups, S).sum(axis=2)
 
 
+def layer_qkv(spec: ModelSpec, p, x: jnp.ndarray, cos, sin):
+    """Input norm + fused qkv projection + RoPE for one layer.
+
+    x: [B, S, E].  Returns (q [B,Hq,S,D], k [B,Hkv,S,D], v [B,Hkv,S,D]),
+    roped, NOT GQA-expanded.
+    """
+    B, S = x.shape[:2]
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    G = spec.num_kv_groups
+    h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
+    qkv = jnp.dot(h, p["wqkv"]).reshape(B, S, Hkv, G + 2, D)
+    q = qkv[:, :, :, :G].reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
+    k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
+    v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+
+def layer_post(spec: ModelSpec, p, x: jnp.ndarray, out: jnp.ndarray):
+    """Output projection + residual + MLP block.  out: [B, Hq, S, D]."""
+    B, S = x.shape[:2]
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
+    x = x + jnp.dot(out, p["wo"])
+    h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
+    return x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+
+
 # --------------------------------------------------------------------------
 # prefill
 # --------------------------------------------------------------------------
@@ -141,13 +167,7 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     lp = params["layers"]
 
     def layer(x, p, layer_idx):
-        h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-        qkv = jnp.dot(h, p["wqkv"]).reshape(B, S, Hkv, G + 2, D)
-        q = qkv[:, :, :, :G].reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
-        k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
-        v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q, k, v = layer_qkv(spec, p, x, cos, sin)
         k_full = repeat_kv(k, G)
         v_full = repeat_kv(v, G)
         out, scores = prefill_attention(
@@ -157,10 +177,7 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
             sliding_window=spec.sliding_window,
             softmax_f32=ecfg.softmax_f32,
             backend=ecfg.resolve_attn_backend())
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, Hq * D)
-        x = x + jnp.dot(out, p["wo"])
-        h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-        x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+        x = layer_post(spec, p, x, out)
 
         if comp.evict_per_qhead:
             ck, cv, cq = k_full, v_full, q

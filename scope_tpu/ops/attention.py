@@ -140,6 +140,64 @@ def prefill_attention(
     )
 
 
+def prefill_scores_only(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    true_len: jnp.ndarray,
+    *,
+    window_size: int,
+    need_colsum_all: bool = False,
+    need_colsum_window: bool = False,
+    q_block: int = 256,
+) -> PrefillScores:
+    """Eviction scores WITHOUT the attention output (chunked-prefill
+    finalize pass: queries were staged during chunking and scored once all
+    keys exist — the scoring softmax spans *future* keys per the reference
+    quirk, kv_utils.py:648-654, so it cannot run chunk-locally).
+
+    q, k: [B, H, S, D] roped.  Math is expression-identical to the scoring
+    branch of :func:`prefill_attention` (backend="xla"), so chunked and
+    monolithic prefill pick the same eviction sets.
+    """
+    B, H, S, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    q_block = min(q_block, S)
+    while S % q_block:
+        q_block //= 2
+    n_blocks = S // q_block
+    w = window_size
+
+    kv_idx = jnp.arange(S)
+    key_real = kv_idx[None, :] < true_len[:, None]            # [B, S]
+
+    colsum_all = None
+    if need_colsum_all:
+        def block(colsum_all, qb_idx):
+            q_start = qb_idx * q_block
+            q_blk = lax.dynamic_slice_in_dim(q, q_start, q_block, axis=2)
+            q_idx = q_start + jnp.arange(q_block)             # [qb]
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q_blk, k,
+                                preferred_element_type=jnp.float32) * scale
+            tl = true_len[:, None, None]                      # [B,1,1]
+            in_tail = ((q_idx[None, :, None] >= tl - w)
+                       & (kv_idx[None, None, :] >= tl - w)
+                       & (kv_idx[None, None, :] > q_idx[None, :, None]))
+            score_mask = key_real[:, None, :] & ~in_tail      # [B, qb, S]
+            s_logits = jnp.where(score_mask[:, None, :, :], logits, NEG_INF)
+            s_probs = jax.nn.softmax(s_logits.astype(jnp.float32), axis=-1)
+            row_real = (q_idx[None, :] < true_len[:, None])   # [B, qb]
+            s_probs = s_probs * row_real[:, None, :, None]
+            return colsum_all + jnp.sum(s_probs, axis=2), None
+
+        colsum0 = jnp.zeros((B, H, S), jnp.float32)
+        colsum_all, _ = lax.scan(block, colsum0, jnp.arange(n_blocks))
+
+    colsum_window = None
+    if need_colsum_window:
+        colsum_window = _window_colsum(q, k, true_len, w, scale)
+    return PrefillScores(colsum_all=colsum_all, colsum_window=colsum_window)
+
+
 def _window_colsum(q, k, true_len, w, scale):
     """SnapKV observation-window scores: softmax over the last w real query
     rows, column-summed.  kv_utils.py:440-450."""
