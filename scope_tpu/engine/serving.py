@@ -47,7 +47,8 @@ class ServingEngine:
     def __init__(self, spec: ModelSpec, comp: CompressionConfig,
                  ecfg: EngineConfig, params, max_slots: int = 4,
                  eos_ids: Tuple[int, ...] = (),
-                 token_budget: Optional[int] = None):
+                 token_budget: Optional[int] = None,
+                 prefill_chunk: Optional[int] = None):
         if comp.decoding_metric not in ("none", "fixed", "linear", "jump"):
             raise ValueError(
                 "serving supports per-request metrics none/fixed/linear/"
@@ -61,6 +62,17 @@ class ServingEngine:
             token_budget or max_slots * (ecfg.max_prompt_len
                                          + ecfg.max_new_tokens))
         self._prefill = jax.jit(partial(llama.prefill, spec, comp, ecfg))
+        # Chunked admission: bound the decode stall per engine step to one
+        # prompt chunk instead of a full prefill (models/chunked_prefill.py).
+        # Admission runs the prefill incrementally, ONE chunk per step(),
+        # round-robin across pending admissions; running decodes keep
+        # stepping in between.
+        self._chunker = None
+        if prefill_chunk is not None:
+            from scope_tpu.models.chunked_prefill import ChunkedPrefiller
+            self._chunker = ChunkedPrefiller(spec, comp, ecfg,
+                                             chunk_size=prefill_chunk)
+        self._pending_prefills: List[dict] = []
         self._decode = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
                                donate_argnums=(3,))
         # Host-orchestrated dispatch: per-slot deterministic schedule
@@ -138,18 +150,46 @@ class ServingEngine:
             bucket = self.ecfg.bucket_for(len(ids))
             toks = np.zeros((1, bucket), np.int32)
             toks[0, :len(ids)] = ids
-            logits, row_cache, _ = self._prefill(
-                self.params, jnp.asarray(toks),
-                jnp.full((1,), len(ids), jnp.int32))
+            toks_j = jnp.asarray(toks)
+            tl_j = jnp.full((1,), len(ids), jnp.int32)
+            if self._chunker is not None:
+                self._pending_prefills.append({
+                    "slot": slot, "rid": rid, "prompt_len": prompt_len,
+                    "max_new": max_new, "n_ids": len(ids),
+                    "st": self._chunker.start(toks_j, tl_j)})
+                admitted = True
+                continue
+            logits, row_cache, _ = self._prefill(self.params, toks_j, tl_j)
             tok0 = int(jax.device_get(jnp.argmax(logits, -1))[0])
-            self._insert_row(slot, row_cache, tok0, len(ids))
-            s = self.slots[slot]
-            s.request_id, s.prompt_len, s.max_new = rid, prompt_len, max_new
-            s.tokens = [tok0]
-            s.active = True
-            if tok0 in self.eos_ids or max_new <= 1:
-                self._finish(slot)
+            self._start_slot(slot, row_cache, tok0, rid, prompt_len,
+                             max_new, len(ids))
             admitted = True
+
+    def _start_slot(self, slot, row_cache, tok0, rid, prompt_len, max_new,
+                    n_ids):
+        self._insert_row(slot, row_cache, tok0, n_ids)
+        s = self.slots[slot]
+        s.request_id, s.prompt_len, s.max_new = rid, prompt_len, max_new
+        s.tokens = [tok0]
+        s.active = True
+        if tok0 in self.eos_ids or max_new <= 1:
+            self._finish(slot)
+
+    def _advance_prefill(self):
+        """Run ONE chunk of the oldest pending admission prefill; insert
+        the row once its prefill completes."""
+        if not self._pending_prefills:
+            return False
+        p = self._pending_prefills[0]
+        more = self._chunker.advance(self.params, p["st"])
+        if not more:
+            logits, row_cache, _ = self._chunker.finish(self.params,
+                                                        p["st"])
+            tok0 = int(jax.device_get(jnp.argmax(logits, -1))[0])
+            self._pending_prefills.pop(0)
+            self._start_slot(p["slot"], row_cache, tok0, p["rid"],
+                             p["prompt_len"], p["max_new"], p["n_ids"])
+        return True
 
     def _finish(self, slot: int):
         s = self.slots[slot]
@@ -184,10 +224,12 @@ class ServingEngine:
             self.params, tok, vpos, self.cache, self.state)
 
     def step(self):
-        """Admit what fits, then run one batched decode step."""
+        """Admit what fits, advance at most one admission-prefill chunk,
+        then run one batched decode step."""
         self._admit()
+        prefilled = self._advance_prefill() if self._chunker else False
         if not any(s.active for s in self.slots):
-            return False
+            return prefilled
         tok = jnp.asarray(self.cur_tok, jnp.int32)
         vpos = jnp.asarray(self.vpos, jnp.int32)
         if self._host_mode:

@@ -216,7 +216,10 @@ class ChunkedPrefiller:
     def _chunk_fn(self, S: int, C: int):
         fn = self._chunk_fns.get((S, C))
         if fn is None:
-            donate = (5, 6, 7) if self._need_q else (5, 6)
+            # partial binds (spec, comp, ecfg, need_q); the jitted fn sees
+            # params=0 tokens=1 c0=2 true_len=3 kbuf=4 vbuf=5 qbuf=6
+            # h_last=7.  Staging buffers are donated (updated in place).
+            donate = (4, 5, 6, 7) if self._need_q else (4, 5, 7)
             fn = jax.jit(partial(_chunk_step, self.spec, self.comp,
                                  self.ecfg, self._need_q),
                          donate_argnums=donate)
@@ -226,7 +229,8 @@ class ChunkedPrefiller:
     def _fin_fn(self, S: int):
         fn = self._fin_fns.get(S)
         if fn is None:
-            donate = (2, 3, 4) if self._need_q else (2, 3)
+            # args: params=0 kbuf=1 vbuf=2 qbuf=3 h_last=4 true_len=5.
+            donate = (1, 2, 3) if self._need_q else (1, 2)
             fn = jax.jit(partial(_finalize, self.spec, self.comp,
                                  self.ecfg, self._need_q),
                          donate_argnums=donate)
@@ -270,12 +274,9 @@ class ChunkedPrefiller:
             return False
         fn = self._chunk_fn(S, C)
         tok_c = lax.slice_in_dim(st["tokens"], c0, c0 + C, axis=1)
-        args = [params, tok_c, jnp.int32(c0), st["true_len"],
-                st["kbuf"], st["vbuf"]]
-        if self._need_q:
-            args.append(st["qbuf"])
-        args.append(st["h_last"])
-        out = fn(*args)
+        out = fn(params, tok_c, jnp.int32(c0), st["true_len"],
+                 st["kbuf"], st["vbuf"],
+                 st["qbuf"] if self._need_q else None, st["h_last"])
         if self._need_q:
             st["kbuf"], st["vbuf"], st["qbuf"], st["h_last"] = out
         else:
@@ -285,15 +286,9 @@ class ChunkedPrefiller:
 
     def finish(self, params, st):
         fn = self._fin_fn(st["S"])
-        args = [params, st["kbuf"], st["vbuf"]]
-        args.append(st["qbuf"] if self._need_q else st["kbuf"])
-        args += [st["h_last"], st["true_len"]]
-        if not self._need_q:
-            # qbuf positional slot still exists in _finalize's signature;
-            # pass kbuf (donated twice is illegal), so rebuild args:
-            args = [params, st["kbuf"], st["vbuf"], None, st["h_last"],
-                    st["true_len"]]
-        return fn(*args)
+        return fn(params, st["kbuf"], st["vbuf"],
+                  st["qbuf"] if self._need_q else None,
+                  st["h_last"], st["true_len"])
 
     def __call__(self, params, tokens, true_len):
         st = self.start(tokens, true_len)

@@ -143,3 +143,29 @@ def test_serving_queue_overflow_admits_later():
     results = eng.run()
     assert set(ids) <= set(results)
     assert all(len(results[r]) == 5 for r in ids)
+
+
+def test_serving_chunked_admission_matches():
+    """Chunked admission prefill (interleaved, one chunk per step) produces
+    exactly the tokens of the monolithic-prefill engine."""
+    comp = CompressionConfig(method="h2o", decoding_metric="fixed",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120, 90)]
+
+    eng_ref = ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
+    ids_ref = [eng_ref.submit(p, 16) for p in prompts]
+    res_ref = eng_ref.run()
+
+    eng_c = ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2,
+                          prefill_chunk=32)
+    ids_c = [eng_c.submit(p, 16) for p in prompts]
+    res_c = eng_c.run()
+
+    for rr, rc in zip(ids_ref, ids_c):
+        np.testing.assert_array_equal(np.array(res_ref[rr]),
+                                      np.array(res_c[rc]))
