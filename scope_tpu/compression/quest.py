@@ -51,7 +51,13 @@ def build_page_metadata(comp: CompressionConfig, cache: KVCache,
     slot = (jnp.arange(NP * chunk).reshape(NP, chunk))
     real = slot[None, :, :] < true_len[:, None, None]          # [B,NP,chunk]
     real = real[None, :, None, :, :, None]                     # broadcast
-    big = jnp.asarray(jnp.finfo(jnp.float32).max, k.dtype)
+    # Int8 cache: min/max over the QUANTIZED values select the same pages
+    # as over dequantized keys (per-channel scales are positive and the
+    # folded query carries them), so the metadata stays int8-sized.
+    if jnp.issubdtype(k.dtype, jnp.integer):
+        big = jnp.asarray(jnp.iinfo(k.dtype).max, k.dtype)
+    else:
+        big = jnp.asarray(jnp.finfo(jnp.float32).max, k.dtype)
     page_min = jnp.min(jnp.where(real, k, big), axis=4)        # [L,B,H,NP,D]
     page_max = jnp.max(jnp.where(real, k, -big), axis=4)
     return cache.replace(page_min=page_min, page_max=page_max)
@@ -195,15 +201,20 @@ def quest_decode_layer(
                        0, cap - 1)
     all_valid = jnp.concatenate([tok_valid, dec_valid], axis=-1)
 
+    # Int8 cache: compute in q's dtype (K scale is folded into q, V scale
+    # into the output by the caller — see models/llama.py decode_step).
+    cd = q.dtype if ck.dtype == jnp.int8 else cv.dtype
+
     def attend(idx, valid):
         k_sel = jnp.take_along_axis(ck, idx[..., None], axis=2)
         v_sel = jnp.take_along_axis(cv, idx[..., None], axis=2)
         acc = jnp.float32 if softmax_f32 else q.dtype
-        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, k_sel,
+        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, k_sel.astype(cd),
                             preferred_element_type=acc) * scale
         logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cv.dtype), v_sel)
+        out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
+                         v_sel.astype(cd))
         return out.reshape(B, Hq, 1, D), probs.sum(axis=2)      # [B,Hc,S']
 
     def quest_branch(_):
@@ -216,11 +227,12 @@ def quest_decode_layer(
         valid = jnp.broadcast_to(slot[None, None, :] < length[:, None, None],
                                  (B, Hc, cap))
         acc = jnp.float32 if softmax_f32 else q.dtype
-        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, ck,
+        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, ck.astype(cd),
                             preferred_element_type=acc) * scale
         logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cv.dtype), cv)
+        out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
+                         cv.astype(cd))
         dec_probs = jnp.take_along_axis(probs.sum(axis=2),
                                         jnp.clip(dec_idx, 0, cap - 1),
                                         axis=-1)

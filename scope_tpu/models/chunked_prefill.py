@@ -143,9 +143,6 @@ def _finalize(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     need_all = comp.method in ("h2o", "pyramidkv")
     need_win = comp.method == "snapkv"
     int8_kv = ecfg.kv_dtype == "int8"
-    if int8_kv and comp.method == "quest":
-        raise NotImplementedError(
-            "int8 KV + quest page metadata not supported yet")
 
     def body(_, xs):
         if need_q:

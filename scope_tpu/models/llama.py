@@ -193,9 +193,6 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         return x, res
 
     int8_kv = ecfg.kv_dtype == "int8"
-    if int8_kv and comp.method == "quest":
-        raise NotImplementedError(
-            "int8 KV + quest page metadata not supported yet")
 
     def body(carry, xs):
         x = carry
@@ -380,6 +377,12 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 dec_cap=ecfg.max_new_tokens + 1,
                 softmax_f32=ecfg.softmax_f32,
                 groups=1 if comp.evict_per_qhead else G)
+            if int8_kv:
+                # Quest computed attention on int8 values with the K scale
+                # already folded into q; fold the V scale into the output.
+                out = (out.reshape(B, Hc, Hq // Hc, D)
+                       * vs_l[:, :, None, :].astype(out.dtype)
+                       ).reshape(B, Hq, 1, D)
         else:
             if use_fused:
                 from scope_tpu.ops.pallas.decode_attn import \

@@ -114,3 +114,71 @@ def test_quest_restricted_budget_changes_attention():
                                          tok, tl, cache, state)
         logits_by[P] = np.asarray(logits)
     assert not np.allclose(logits_by[32], logits_by[112], atol=1e-6)
+
+
+def test_int8_page_selection_matches_dequant():
+    """Page ordering from int8 min/max metadata with the K scale folded
+    into q equals the ordering from dequantized keys with the raw q
+    (positive per-channel scales commute with the page min/max)."""
+    from scope_tpu.ops import quant
+    rng = np.random.default_rng(4)
+    S = 64
+    NP = S // CHUNK
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)) * 2.0, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    ks = quant.calibrate(k)
+    ki = quant.quantize(k, ks)
+    kd = quant.dequantize(ki, ks, dtype=jnp.float32)
+
+    pmin_d = kd.reshape(B, H, NP, CHUNK, D).min(axis=3)
+    pmax_d = kd.reshape(B, H, NP, CHUNK, D).max(axis=3)
+    ref = np.asarray(_page_scores(q, pmin_d, pmax_d))
+
+    pmin_i = ki.reshape(B, H, NP, CHUNK, D).min(axis=3)
+    pmax_i = ki.reshape(B, H, NP, CHUNK, D).max(axis=3)
+    q_eff = q * ks[:, :, None, :]
+    got = np.asarray(_page_scores(q_eff, pmin_i.astype(jnp.float32),
+                                  pmax_i.astype(jnp.float32)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("metric", ["none", "fixed"])
+def test_int8_quest_decode_close_to_fp(metric):
+    """Quest with an int8 cache tracks the full-precision quest path:
+    int8 page metadata, folded scales, compression gathers on int8."""
+    comp = CompressionConfig(method="quest", decoding_metric=metric,
+                             max_capacity_prompt=48, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3,
+                             chunk_size=CHUNK, quest_skip_layers=1)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(5)
+    toks = jnp.asarray(rng.integers(1, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+    ecfg_fp = EngineConfig(max_prompt_len=128, max_new_tokens=32,
+                           dtype="float32")
+    ecfg_q = ecfg_fp.replace(kv_dtype="int8")
+
+    def gen(ecfg):
+        logits, cache, state = llama.prefill(TINY_LLAMA, comp, ecfg,
+                                             params, toks, tl)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq, logit_list = [int(tok[0])], []
+        for s in range(20):
+            logits, cache, state = llama.decode_step(
+                TINY_LLAMA, comp, ecfg, params, tok, tl + s, cache, state)
+            logit_list.append(np.asarray(logits[0]))
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            seq.append(int(tok[0]))
+        return seq, logit_list, cache
+
+    seq_fp, logits_fp, _ = gen(ecfg_fp)
+    seq_q, logits_q, cache_q = gen(ecfg_q)
+    assert cache_q.k.dtype == jnp.int8
+    assert cache_q.page_min.dtype == jnp.int8
+    for i in range(3):
+        cos = np.dot(logits_fp[i].ravel(), logits_q[i].ravel()) / (
+            np.linalg.norm(logits_fp[i]) * np.linalg.norm(logits_q[i]))
+        assert cos > 0.999, (i, cos)
+    agree = sum(a == b for a, b in zip(seq_fp, seq_q)) / len(seq_fp)
+    assert agree >= 0.4, (agree, seq_fp, seq_q)
