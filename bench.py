@@ -161,18 +161,20 @@ def run_pair(spec, params, batch, prompt_len=2048):
 
 
 def run_scope_only(spec, params, batch, prompt_len=2048,
-                   kv_dtype="bfloat16"):
+                   kv_dtype="bfloat16", evict_per_qhead=True):
     from scope_tpu.config import CompressionConfig, EngineConfig
 
     comp = CompressionConfig(
         method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
         window_size=8, decoding_window_size=512, decoding_recent_size=256,
-        delta=(7950 - 256) // (512 - 256))
+        delta=(7950 - 256) // (512 - 256),
+        evict_per_qhead=evict_per_qhead)
     ecfg = EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
                         dtype="bfloat16", uniform_lengths=True,
                         kv_dtype=kv_dtype)
     tps = measure_decode(spec, comp, ecfg, params, prompt_len, batch=batch)
-    log(f"[batch={batch} kv={kv_dtype}] scope decode: {tps:.1f} tok/s")
+    log(f"[batch={batch} kv={kv_dtype} qhead={evict_per_qhead}] "
+        f"scope decode: {tps:.1f} tok/s")
     return tps
 
 
@@ -195,12 +197,18 @@ def main():
     tps_scope4, tps_full4 = run_pair(spec, params, 4)
     log(f"[batch=4] same-batch speedup: {tps_scope4 / tps_full4:.2f}x")
     tps_scope = tps_scope4
-    for b in (16, 8):   # largest serving batch that fits (measured: 16)
+    # Largest serving batch that fits: int8 KV halves the cache so batch
+    # scales further (measured ladder: b32/int8 1410, b24/int8 1322,
+    # b16/int8 1202, b16/bf16 1003 tok/s; b32/bf16 OOMs).  Ladder falls
+    # back if a config stops fitting.
+    for b, kv in ((32, "int8"), (16, "int8"), (16, "bfloat16"),
+                  (8, "bfloat16")):
         try:
-            tps_scope = max(tps_scope, run_scope_only(spec, params, b))
+            tps_scope = max(tps_scope,
+                            run_scope_only(spec, params, b, kv_dtype=kv))
             break
         except Exception as e:
-            log(f"batch={b} scope run failed ({e}); trying smaller")
+            log(f"batch={b}/{kv} scope run failed ({e}); trying smaller")
     result = {
         "metric": ("decode_tok_per_s_1B_scope_h2o_jump_best_batch"
                    "_vs_fullcache_10k_best_batch"),

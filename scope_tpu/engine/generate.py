@@ -56,6 +56,47 @@ def sample_logits(logits: jnp.ndarray, key=None, temperature: float = 0.0,
     return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
+def sample_logits_rowwise(logits: jnp.ndarray, seeds: jnp.ndarray,
+                          counters: jnp.ndarray, temperature: jnp.ndarray,
+                          top_k: jnp.ndarray, top_p: jnp.ndarray,
+                          max_top_k: int = 64) -> jnp.ndarray:
+    """Per-ROW sampling params for continuous batching: each slot carries
+    its own (temperature, top_k, top_p, seed); rows with temperature<=0
+    decode greedily.
+
+    Non-greedy rows sample among the row's ``max_top_k`` highest-logit
+    candidates (a static bound so the per-row dynamic top_k/top_p masks
+    stay shape-stable under jit); top_k values above ``max_top_k`` are
+    clamped.  logits: [B, V] -> [B] int32.
+    """
+    B = logits.shape[0]
+    max_top_k = min(max_top_k, logits.shape[-1])
+    lg = logits.astype(jnp.float32)
+    greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+    vals, idx = lax.top_k(lg, max_top_k)              # [B, K] descending
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    v = vals / t
+    j = jnp.arange(max_top_k)[None, :]
+    k_eff = jnp.where(top_k > 0, jnp.minimum(top_k, max_top_k),
+                      max_top_k)[:, None]
+    v = jnp.where(j < k_eff, v, -jnp.inf)
+    probs = jax.nn.softmax(v, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    # Keep candidates until cumulative mass exceeds top_p (always >= 1).
+    cutoff = jnp.sum(csum < top_p[:, None], axis=-1, keepdims=True)
+    v = jnp.where(j <= cutoff, v, -jnp.inf)
+
+    def draw(seed, counter, row):
+        key = jax.random.fold_in(jax.random.fold_in(
+            jax.random.key(0), seed), counter)
+        return jax.random.categorical(key, row)
+    choice = jax.vmap(draw)(seeds, counters, v)       # [B] in [0, K)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(temperature > 0.0, sampled.astype(jnp.int32),
+                     greedy_tok)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 6, 8))
 def generate_scan(spec: ModelSpec, comp: CompressionConfig,
                   ecfg: EngineConfig, params, tokens: jnp.ndarray,

@@ -104,14 +104,40 @@ class ServingEngine:
         self.vpos = np.zeros(max_slots, np.int64)
         self._pending_prompts: Dict[int, np.ndarray] = {}
         self.results: Dict[int, List[int]] = {}
+        # Per-request sampling (greedy when temperature<=0, the default —
+        # matching the reference's do_sample=False).  Each slot carries its
+        # own (temperature, top_k, top_p, seed); sampling is deterministic
+        # per (seed, position) so slot placement doesn't change tokens.
+        from scope_tpu.engine.generate import sample_logits_rowwise
+        self._sampler = jax.jit(sample_logits_rowwise)
+        self._samp: Dict[int, Tuple[float, int, float, int]] = {}
+        self._samp_t = np.zeros(max_slots, np.float32)
+        self._samp_k = np.zeros(max_slots, np.int32)
+        self._samp_p = np.ones(max_slots, np.float32)
+        self._samp_seed = np.zeros(max_slots, np.int32)
 
     # ------------------------------------------------------------------
-    def submit(self, prompt_ids: np.ndarray, max_new: int) -> int:
+    def submit(self, prompt_ids: np.ndarray, max_new: int,
+               temperature: float = 0.0, top_k: int = 0,
+               top_p: float = 1.0, seed: int = 0) -> int:
         rid = self.sched.submit(len(prompt_ids), max_new)
         if rid < 0:
             raise RuntimeError("scheduler queue full")
         self._pending_prompts[rid] = np.asarray(prompt_ids, np.int32)
+        if temperature > 0.0:
+            self._samp[rid] = (temperature, top_k, top_p, seed)
         return rid
+
+    def _first_token(self, logits, rid, n_ids) -> int:
+        t, k, p, seed = self._samp.get(rid, (0.0, 0, 1.0, 0))
+        if t <= 0.0:
+            return int(jax.device_get(jnp.argmax(logits, -1))[0])
+        tok = self._sampler(logits, jnp.array([seed], jnp.int32),
+                            jnp.array([n_ids], jnp.int32),
+                            jnp.array([t], jnp.float32),
+                            jnp.array([k], jnp.int32),
+                            jnp.array([p], jnp.float32))
+        return int(jax.device_get(tok)[0])
 
     # ------------------------------------------------------------------
     def _insert_row(self, slot: int, row_cache, tok0: int,
@@ -160,7 +186,7 @@ class ServingEngine:
                 admitted = True
                 continue
             logits, row_cache, _ = self._prefill(self.params, toks_j, tl_j)
-            tok0 = int(jax.device_get(jnp.argmax(logits, -1))[0])
+            tok0 = self._first_token(logits, rid, len(ids))
             self._start_slot(slot, row_cache, tok0, rid, prompt_len,
                              max_new, len(ids))
             admitted = True
@@ -168,6 +194,8 @@ class ServingEngine:
     def _start_slot(self, slot, row_cache, tok0, rid, prompt_len, max_new,
                     n_ids):
         self._insert_row(slot, row_cache, tok0, n_ids)
+        (self._samp_t[slot], self._samp_k[slot], self._samp_p[slot],
+         self._samp_seed[slot]) = self._samp.get(rid, (0.0, 0, 1.0, 0))
         s = self.slots[slot]
         s.request_id, s.prompt_len, s.max_new = rid, prompt_len, max_new
         s.tokens = [tok0]
@@ -185,7 +213,7 @@ class ServingEngine:
         if not more:
             logits, row_cache, _ = self._chunker.finish(self.params,
                                                         p["st"])
-            tok0 = int(jax.device_get(jnp.argmax(logits, -1))[0])
+            tok0 = self._first_token(logits, p["rid"], p["n_ids"])
             self._pending_prefills.pop(0)
             self._start_slot(p["slot"], row_cache, tok0, p["rid"],
                              p["prompt_len"], p["max_new"], p["n_ids"])
@@ -195,6 +223,8 @@ class ServingEngine:
         s = self.slots[slot]
         self.results[s.request_id] = list(s.tokens)
         self.sched.finish(slot)
+        self._samp.pop(s.request_id, None)
+        self._samp_t[slot] = 0.0
         s.active = False
         s.request_id = -1
 
@@ -237,7 +267,14 @@ class ServingEngine:
         else:
             logits, self.cache, self.state = self._decode(
                 self.params, tok, vpos, self.cache, self.state)
-        nxt = np.asarray(jax.device_get(jnp.argmax(logits, -1)))
+        if np.any(self._samp_t > 0.0):
+            nxt_dev = self._sampler(
+                logits, jnp.asarray(self._samp_seed), vpos + 1,
+                jnp.asarray(self._samp_t), jnp.asarray(self._samp_k),
+                jnp.asarray(self._samp_p))
+        else:
+            nxt_dev = jnp.argmax(logits, -1)
+        nxt = np.asarray(jax.device_get(nxt_dev))
         for slot, s in enumerate(self.slots):
             if not s.active:
                 continue

@@ -22,17 +22,23 @@ def main():
     from scope_tpu.models import llama
     from scope_tpu.models.registry import get_spec
 
-    batches = [int(a) for a in sys.argv[1:]] or [8, 16, 24, 32]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    kvhead = "--kvhead" in sys.argv[1:]     # per-KV-head eviction mode
+    dtypes = ([d.split("=", 1)[1].split(",")
+               for d in sys.argv[1:] if d.startswith("--kv=")]
+              or [["int8", "bfloat16"]])[0]
+    batches = [int(a) for a in args] or [8, 16, 24, 32]
     bench.log(f"devices: {jax.devices()}")
     spec = get_spec("llama-3.2-1b")
     params = llama.init_params(spec, jax.random.key(0), jnp.bfloat16)
 
     results = {}
-    for kv in ("int8", "bfloat16"):
+    for kv in dtypes:
         for b in batches:
-            key = f"b{b}/{kv}"
+            key = f"b{b}/{kv}" + ("/kvhead" if kvhead else "")
             try:
-                tps = bench.run_scope_only(spec, params, b, kv_dtype=kv)
+                tps = bench.run_scope_only(spec, params, b, kv_dtype=kv,
+                                           evict_per_qhead=not kvhead)
                 results[key] = round(tps, 1)
             except Exception as e:  # OOM etc.
                 bench.log(f"{key} FAILED: {type(e).__name__}: {e}")

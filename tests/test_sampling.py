@@ -53,3 +53,92 @@ def test_top_p_keeps_at_least_one():
     logits = jnp.asarray([[1.0, 1.0, 1.0, 1.0]])
     t = int(sample_logits(logits, key, temperature=1.0, top_p=0.01)[0])
     assert 0 <= t < 4
+
+
+# ---------------------- row-wise (per-slot) sampling ------------------------
+
+def test_rowwise_greedy_rows_match_argmax():
+    from scope_tpu.engine.generate import sample_logits_rowwise
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((4, 100)), jnp.float32)
+    toks = sample_logits_rowwise(
+        logits, jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+        jnp.zeros(4, jnp.float32), jnp.zeros(4, jnp.int32),
+        jnp.ones(4, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_rowwise_topk1_is_greedy():
+    from scope_tpu.engine.generate import sample_logits_rowwise
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((3, 50)), jnp.float32)
+    toks = sample_logits_rowwise(
+        logits, jnp.arange(3, dtype=jnp.int32), jnp.zeros(3, jnp.int32),
+        jnp.full(3, 2.0, jnp.float32), jnp.ones(3, jnp.int32),
+        jnp.ones(3, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_rowwise_deterministic_per_seed_and_position():
+    """The draw depends only on (seed, counter, logits) — not on which
+    row of the batch the request occupies."""
+    from scope_tpu.engine.generate import sample_logits_rowwise
+    rng = np.random.default_rng(2)
+    row = rng.standard_normal(100).astype(np.float32)
+    other = rng.standard_normal(100).astype(np.float32)
+
+    def run(batch_rows, pos):
+        logits = jnp.asarray(np.stack(batch_rows), jnp.float32)
+        B = len(batch_rows)
+        return np.asarray(sample_logits_rowwise(
+            logits, jnp.full(B, 7, jnp.int32), jnp.full(B, pos, jnp.int32),
+            jnp.full(B, 1.0, jnp.float32), jnp.zeros(B, jnp.int32),
+            jnp.full(B, 0.95, jnp.float32)))
+
+    solo = run([row], 11)[0]
+    batched = run([other, row, other], 11)[1]
+    assert solo == batched
+    # Different positions draw independently (usually different tokens).
+    draws = {int(run([row], p)[0]) for p in range(30)}
+    assert len(draws) > 1
+
+
+def test_serving_per_request_sampling():
+    """Greedy and sampled requests coexist; sampled tokens are
+    deterministic for a given seed and differ across seeds."""
+    import jax
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    from scope_tpu.engine.serving import ServingEngine
+    from scope_tpu.models import llama
+    from scope_tpu.models.registry import TINY_LLAMA
+
+    comp = CompressionConfig(method="h2o", decoding_metric="none",
+                             max_capacity_prompt=64, window_size=8)
+    ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=16,
+                        dtype="float32")
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(1, 512, 90).astype(np.int32)
+
+    def serve(seeds):
+        eng = ServingEngine(TINY_LLAMA, comp, ecfg, params, max_slots=2)
+        ids = [eng.submit(prompt, 8, temperature=0.0)] + [
+            eng.submit(prompt, 8, temperature=1.0, top_k=20, seed=s)
+            for s in seeds]
+        res = eng.run()
+        return [res[i] for i in ids]
+
+    a = serve([1, 2])
+    b = serve([1, 2])
+    assert a == b                               # deterministic per seed
+    assert a[1] != a[2]                         # seeds differ
+    # Greedy row unaffected by sampled neighbours.
+    from scope_tpu.engine.generate import generate_scan
+    toks = np.zeros((1, 128), np.int32)
+    toks[0, :len(prompt)] = prompt
+    gen, _ = generate_scan(TINY_LLAMA, comp, ecfg, params,
+                           jnp.asarray(toks),
+                           jnp.array([len(prompt)], jnp.int32), 8, -1)
+    np.testing.assert_array_equal(np.asarray(gen[0]), np.array(a[0]))
