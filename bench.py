@@ -33,17 +33,43 @@ def log(*a):
 
 
 def build_state(spec, comp, ecfg, params, prompt_len, batch=1,
-                fake_len=None):
+                fake_len=None, prefill_batch=16):
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from scope_tpu.models import llama
 
+    # Prefill at a bounded sub-batch and tile the cache rows up to the
+    # decode batch: big-batch prefill OOMs on bf16 staging/activations,
+    # but production admission prefills one request at a time anyway —
+    # only the DECODE working set must fit at batch B, and decode
+    # throughput is value-independent.
+    pb = min(batch, prefill_batch)
     rng = np.random.default_rng(0)
     toks = jnp.asarray(rng.integers(1, spec.vocab_size,
-                                    (batch, prompt_len)), jnp.int32)
-    tl = jnp.full((batch,), prompt_len, jnp.int32)
+                                    (pb, prompt_len)), jnp.int32)
+    tl = jnp.full((pb,), prompt_len, jnp.int32)
     logits, cache, state = jax.jit(
         partial(llama.prefill, spec, comp, ecfg))(params, toks, tl)
+    if batch > pb:
+        reps = -(-batch // pb)
+
+        @jax.jit
+        def tile_cache(c):
+            def t(x, axis=1):
+                if x is None:
+                    return None
+                out = jnp.concatenate([x] * reps, axis=axis)
+                return lax.slice_in_dim(out, 0, batch, axis=axis)
+            return c.replace(
+                k=t(c.k), v=t(c.v), length=t(c.length),
+                pvalid=t(c.pvalid), prompt_len=t(c.prompt_len, 0),
+                page_min=t(c.page_min), page_max=t(c.page_max),
+                k_scale=t(c.k_scale), v_scale=t(c.v_scale))
+
+        cache = tile_cache(cache)
+        logits = jnp.concatenate([logits] * reps, 0)[:batch]
+        tl = jnp.full((batch,), prompt_len, jnp.int32)
     if fake_len is not None:
         # Simulate a late-generation full cache by advancing the length
         # bookkeeping (slot values don't affect throughput).
