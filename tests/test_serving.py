@@ -169,3 +169,34 @@ def test_serving_chunked_admission_matches():
     for rr, rc in zip(ids_ref, ids_c):
         np.testing.assert_array_equal(np.array(res_ref[rr]),
                                       np.array(res_c[rc]))
+
+
+def test_serving_headline_config_kvhead_int8():
+    """The headline serving configuration (h2o+jump, per-KV-head eviction,
+    int8 KV) matches dedicated single-stream generation per request."""
+    comp = CompressionConfig(method="h2o", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3,
+                             evict_per_qhead=False)
+    ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=32,
+                        dtype="float32", kv_dtype="int8")
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    eng = ServingEngine(TINY_LLAMA, comp, ecfg, params, max_slots=2)
+    assert eng.cache.k.dtype == jnp.int8
+    assert eng.cache.k.shape[2] == TINY_LLAMA.num_kv_heads
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 90, 80)]
+    ids = [eng.submit(p, 20) for p in prompts]
+    results = eng.run()
+
+    from scope_tpu.engine.generate import generate_scan
+    for p, rid in zip(prompts, ids):
+        toks = np.zeros((1, 128), np.int32)
+        toks[0, :len(p)] = p
+        gen, _ = generate_scan(TINY_LLAMA, comp, ecfg, params,
+                               jnp.asarray(toks),
+                               jnp.array([len(p)], jnp.int32), 20, -1)
+        np.testing.assert_array_equal(np.asarray(gen[0]),
+                                      np.array(results[rid]))
