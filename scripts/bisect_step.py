@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--kvhead", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 cache buffers (attention reads convert "
+                         "in the einsum; isolates convert-fusion cost)")
     args = ap.parse_args()
 
     import jax
@@ -69,12 +72,19 @@ def main():
     Hc, G = st.cache_heads, spec.num_kv_groups
     dtype = jnp.bfloat16
 
+    cache_dtype = jnp.int8 if args.int8 else dtype
+
     def make_cache():
-        c = init_cache(L, B, Hc, cap, D, dtype)
+        c = init_cache(L, B, Hc, cap, D, dtype,
+                       kv_dtype="int8" if args.int8 else str(dtype))
         key = jax.random.key(1)
+        if args.int8:
+            kv = jax.random.randint(key, c.k.shape, -127, 128, jnp.int8)
+            c = c.replace(k=kv, v=kv)
+        else:
+            c = c.replace(k=jax.random.normal(key, c.k.shape, dtype),
+                          v=jax.random.normal(key, c.v.shape, dtype))
         return c.replace(
-            k=jax.random.normal(key, c.k.shape, dtype),
-            v=jax.random.normal(key, c.v.shape, dtype),
             length=jnp.full_like(c.length, cap - args.steps * 3 - 8),
             pvalid=jnp.full_like(c.pvalid, cap - args.steps * 3 - 8))
 
@@ -162,8 +172,8 @@ def main():
         x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)
         lp = params["layers"]
         ck_all, cv_all, len_all = cache.k, cache.v, cache.length
-        ring_k = jnp.zeros((L, B, Hc, 64, D), dtype)
-        ring_v = jnp.zeros((L, B, Hc, 64, D), dtype)
+        ring_k = jnp.zeros((L, B, Hc, 64, D), cache_dtype)
+        ring_v = jnp.zeros((L, B, Hc, 64, D), cache_dtype)
         import math as _m
         scale = 1.0 / _m.sqrt(D)
         staged = []
@@ -188,6 +198,11 @@ def main():
             if Hc == Hq:
                 k = repeat_kv(k, G)
                 v = repeat_kv(v, G)
+            if args.int8:
+                k = jnp.clip(jnp.round(k.astype(jnp.float32) * 32.0),
+                             -127, 127).astype(jnp.int8)
+                v = jnp.clip(jnp.round(v.astype(jnp.float32) * 32.0),
+                             -127, 127).astype(jnp.int8)
             length = len_all[l]
             if append_once:
                 staged.append((k, v))
@@ -215,19 +230,20 @@ def main():
                 ck_v, cv_v = ck_all[l], cv_all[l]
                 mask = slot_mask(length, cache.pvalid[l], 0, cap)
                 qg = q.reshape(B, Hc, Hq // Hc, D)
-                logits = jnp.einsum("bhgd,bhsd->bhgs", qg, ck_v,
+                logits = jnp.einsum("bhgd,bhsd->bhgs", qg,
+                                    ck_v.astype(dtype),
                                     preferred_element_type=jnp.float32
                                     ) * scale
                 logits = jnp.where(mask[:, :, None, :], logits,
                                    -1e30)
                 probs = jax.nn.softmax(logits, axis=-1)
                 out = jnp.einsum("bhgs,bhsd->bhgd",
-                                 probs.astype(cv_v.dtype), cv_v)
+                                 probs.astype(dtype), cv_v.astype(dtype))
                 out = out.reshape(B, Hq, 1, D)
             else:
                 # Keep q/k/v live without touching the cache.
-                out = q + jnp.mean(k, 1, keepdims=True) \
-                    + jnp.mean(v, 1, keepdims=True)
+                out = q + jnp.mean(k, 1, keepdims=True).astype(q.dtype) \
+                    + jnp.mean(v, 1, keepdims=True).astype(q.dtype)
             out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
             x = x + jnp.dot(out, p["wo"])
             h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
