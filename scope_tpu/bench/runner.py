@@ -106,7 +106,8 @@ def run_dataset(args, spec, params, tokenizer, dataset: str, fout):
     comp = build_compression(args, out_len, dataset)
     ecfg = EngineConfig(
         max_prompt_len=min(args.max_prompt_len, spec.max_position_embeddings),
-        max_new_tokens=out_len, dtype=args.dtype)
+        max_new_tokens=out_len, dtype=args.dtype,
+        kv_dtype=args.kv_dtype)
     eos_ids = tuple(args.eos_ids) if args.eos_ids else (
         (tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None
         else ())
@@ -164,6 +165,10 @@ def parse_args(argv=None):
     p.add_argument("--shot_number", type=int, default=8)
     p.add_argument("--chunk_size", type=int, default=16)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--kv_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "int8"],
+                   help="KV cache storage dtype (int8: per-channel "
+                        "prefill-calibrated scales)")
     p.add_argument("--evict_per_kv_head", action="store_true")
     p.add_argument("--eos_ids", type=int, nargs="*", default=None)
     p.add_argument("--resume", action="store_true",

@@ -133,3 +133,32 @@ def test_runner_end_to_end(tmp_path):
         assert key in rec
     assert rec["gen_length"] >= 1
     assert len(rec["TPOT"]) == rec["gen_length"]
+
+
+def test_runner_kv_dtype_int8(tmp_path):
+    """--kv_dtype int8 threads through to the engine and still produces a
+    well-formed record."""
+    from scope_tpu.bench.runner import main as runner_main
+
+    f = tmp_path / "gsm8k_30_8shot.jsonl"
+    ex = {"prompt": "Question_1: 1+1?", "questions": ["1+1?"],
+          "answers": ["#### 2"]}
+    f.write_text(json.dumps(ex) + "\n")
+    save = tmp_path / "results"
+    runner_main([
+        "--data_file", str(f),
+        "--datasets", "gsm8k",
+        "--save_dir", str(save),
+        "--random_weights", "--model_spec", "tiny-llama",
+        "--tokenizer", "byte",
+        "--method", "h2o", "--decoding_metric", "jump",
+        "--max_capacity_prompts", "64",
+        "--decoding_window_size", "32", "--decoding_recent_size", "16",
+        "--max_new_tokens", "8", "--max_prompt_len", "256",
+        "--dtype", "float32", "--kv_dtype", "int8",
+        "--evict_per_kv_head", "--K", "30",
+    ])
+    out = save / "tiny-llama_64_tpu" / "gsm8k" / "pre_H2O_dec_jump.json"
+    assert out.exists()
+    rec = json.loads(out.read_text().splitlines()[0])
+    assert rec["gen_length"] >= 1
