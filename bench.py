@@ -227,7 +227,8 @@ def main():
     # measured ladder: b32/int8 1410, b16/int8 1202, b16/bf16 1003
     # tok/s; b48/int8 and b32/bf16 OOM.
     tps_parity = tps_scope4
-    for b, kv in ((32, "int8"), (16, "bfloat16"), (8, "bfloat16")):
+    for b, kv in ((32, "int8"), (16, "int8"), (16, "bfloat16"),
+                  (8, "bfloat16")):
         try:
             tps_parity = max(tps_parity,
                              run_scope_only(spec, params, b, kv_dtype=kv))

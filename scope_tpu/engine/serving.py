@@ -17,6 +17,7 @@ per-row force steps from per-slot schedule mirrors.
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -48,7 +49,8 @@ class ServingEngine:
                  ecfg: EngineConfig, params, max_slots: int = 4,
                  eos_ids: Tuple[int, ...] = (),
                  token_budget: Optional[int] = None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 max_top_k: int = 64):
         if comp.decoding_metric not in ("none", "fixed", "linear", "jump"):
             raise ValueError(
                 "serving supports per-request metrics none/fixed/linear/"
@@ -65,7 +67,7 @@ class ServingEngine:
         # Chunked admission: bound the decode stall per engine step to one
         # prompt chunk instead of a full prefill (models/chunked_prefill.py).
         # Admission runs the prefill incrementally, ONE chunk per step(),
-        # round-robin across pending admissions; running decodes keep
+        # FIFO (oldest pending admission first); running decodes keep
         # stepping in between.
         self._chunker = None
         if prefill_chunk is not None:
@@ -109,7 +111,9 @@ class ServingEngine:
         # own (temperature, top_k, top_p, seed); sampling is deterministic
         # per (seed, position) so slot placement doesn't change tokens.
         from scope_tpu.engine.generate import sample_logits_rowwise
-        self._sampler = jax.jit(sample_logits_rowwise)
+        self.max_top_k = max_top_k
+        self._sampler = jax.jit(partial(sample_logits_rowwise,
+                                        max_top_k=max_top_k))
         self._samp: Dict[int, Tuple[float, int, float, int]] = {}
         self._samp_t = np.zeros(max_slots, np.float32)
         self._samp_k = np.zeros(max_slots, np.int32)
@@ -120,6 +124,20 @@ class ServingEngine:
     def submit(self, prompt_ids: np.ndarray, max_new: int,
                temperature: float = 0.0, top_k: int = 0,
                top_p: float = 1.0, seed: int = 0) -> int:
+        """Queue a request; returns its request id.
+
+        Sampling: temperature<=0 decodes greedily.  Non-greedy sampling
+        draws from the row's ``engine.max_top_k`` (default 64) highest-
+        logit candidates — a static bound that keeps the per-row
+        top_k/top_p masks shape-stable under jit — so top_k=0 / top_p=1.0
+        means "unrestricted within the top max_top_k", not the full
+        vocabulary; top_k above max_top_k is clamped.  Raise ``max_top_k``
+        at engine construction if wider tails are needed.
+        """
+        if top_k > self.max_top_k:
+            logging.getLogger(__name__).warning(
+                "top_k=%d clamped to engine max_top_k=%d",
+                top_k, self.max_top_k)
         rid = self.sched.submit(len(prompt_ids), max_new)
         if rid < 0:
             raise RuntimeError("scheduler queue full")
