@@ -355,7 +355,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         backend = ecfg.resolve_attn_backend()
         use_fused = (ecfg.fused_decode_attention
                      and backend in ("pallas", "pallas_interpret")
-                     and not quest and not int8_kv)
+                     and not quest)
         # Eviction scores are only consumed on steps that may compress;
         # hot host-scheduled steps skip materialising them entirely.
         need_probs = (comp.decoding_metric != "none"

@@ -56,6 +56,11 @@ def _kernel(len_ref, q_ref, pv_ref, k_ref, v_ref, kn_ref, vn_ref,
     def _compute():
         q = q_ref[0]                                  # [Hc, R, D]
         k = k_ref[0]                                  # [Hc, chunk, D]
+        if k.dtype == jnp.int8:
+            # Int8 cache: dequant in-register (per-channel scales are
+            # folded into q / the output outside the kernel, ops/quant.py)
+            # so the HBM->VMEM DMA moves half the bytes of a bf16 cache.
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # [Hc, R, chunk]
@@ -79,9 +84,12 @@ def _kernel(len_ref, q_ref, pv_ref, k_ref, v_ref, kn_ref, vn_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m_new[:, :, None]), 0.0)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2)
+        v_t = v_ref[0]
+        if v_t.dtype == jnp.int8:
+            v_t = v_t.astype(q_ref.dtype)
         acc_scr[:] = (acc_scr[:] * alpha[:, :, None]
                       + jax.lax.dot_general(
-                          p.astype(v_ref.dtype), v_ref[0],
+                          p.astype(v_t.dtype), v_t,
                           (((2,), (1,)), ((0,), (0,))),
                           preferred_element_type=jnp.float32))
         m_scr[:] = m_new
@@ -102,6 +110,8 @@ def _kernel(len_ref, q_ref, pv_ref, k_ref, v_ref, kn_ref, vn_ref,
             # instead of one per layer).
             q = q_ref[0]                              # [Hc, R, D]
             kn = kn_ref[0]                            # [Hc, 1, D]
+            if kn.dtype == jnp.int8:
+                kn = kn.astype(q.dtype)
             sn = jax.lax.dot_general(
                 q, kn, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)[:, :, 0] * scale
@@ -126,11 +136,11 @@ def _normalize_logits(s: jnp.ndarray) -> jnp.ndarray:
     return p / jnp.where(l > 0, l, 1.0)
 
 
-def default_chunk(num_heads: int, head_dim: int,
+def default_chunk(num_heads: int, head_dim: int, itemsize: int = 2,
                   tile_bytes: int = 2**20) -> int:
-    """Largest chunk whose [Hc, chunk, D] bf16 tile fits ``tile_bytes``."""
-    c = tile_bytes // (num_heads * head_dim * 2)
-    c = max(128, min(1024, c))
+    """Largest chunk whose [Hc, chunk, D] cache tile fits ``tile_bytes``."""
+    c = tile_bytes // (num_heads * head_dim * itemsize)
+    c = max(128, min(2048, c))
     return (c // 128) * 128
 
 
@@ -163,7 +173,7 @@ def fused_decode_attention(
         new_k = jnp.zeros((B, Hc, 1, D), cache_k.dtype)
         new_v = new_k
     if not chunk:
-        chunk = default_chunk(Hc, D)
+        chunk = default_chunk(Hc, D, cache_k.dtype.itemsize)
     chunk = min(chunk, ((cap + 127) // 128) * 128)
     n_chunks = pl.cdiv(cap, chunk)
     scale = 1.0 / math.sqrt(D)

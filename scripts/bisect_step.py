@@ -79,8 +79,11 @@ def main():
                        kv_dtype="int8" if args.int8 else str(dtype))
         key = jax.random.key(1)
         if args.int8:
-            kv = jax.random.randint(key, c.k.shape, -127, 128, jnp.int8)
-            c = c.replace(k=kv, v=kv)
+            # Distinct buffers: k/v aliasing one array breaks donation.
+            c = c.replace(
+                k=jax.random.randint(key, c.k.shape, -127, 128, jnp.int8),
+                v=jax.random.randint(jax.random.key(2), c.v.shape,
+                                     -127, 128, jnp.int8))
         else:
             c = c.replace(k=jax.random.normal(key, c.k.shape, dtype),
                           v=jax.random.normal(key, c.v.shape, dtype))
@@ -166,7 +169,8 @@ def main():
         return logits, cache
 
     def step(params, token, vpos, cache, *, do_append, do_attn,
-             append_once=False, unfused=False, append_mode="big"):
+             append_once=False, unfused=False, append_mode="big",
+             attn_variant="dequant"):
         inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
         cos, sin = rope_cos_sin(vpos[:, None], inv_freq)
         x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)
@@ -230,15 +234,45 @@ def main():
                 ck_v, cv_v = ck_all[l], cv_all[l]
                 mask = slot_mask(length, cache.pvalid[l], 0, cap)
                 qg = q.reshape(B, Hc, Hq // Hc, D)
-                logits = jnp.einsum("bhgd,bhsd->bhgs", qg,
-                                    ck_v.astype(dtype),
-                                    preferred_element_type=jnp.float32
-                                    ) * scale
+                if attn_variant == "int8dot" and args.int8:
+                    # Quantize q per (row, head) to int8 and run a native
+                    # int8 x int8 -> int32 MXU dot; rescale after.  Tests
+                    # whether the int8->bf16 cache convert is what costs.
+                    qf = qg.astype(jnp.float32)
+                    qs = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.
+                    qi = jnp.clip(jnp.round(qf / qs), -127, 127
+                                  ).astype(jnp.int8)
+                    li = jnp.einsum("bhgd,bhsd->bhgs", qi, ck_v,
+                                    preferred_element_type=jnp.int32)
+                    logits = li.astype(jnp.float32) * (qs * scale)
+                elif attn_variant == "qk_bf16dot" and args.int8:
+                    # Convert ONLY k inline (what XLA does today) but keep
+                    # the value matmul int8-direct via quantized probs.
+                    logits = jnp.einsum(
+                        "bhgd,bhsd->bhgs", qg, ck_v.astype(dtype),
+                        preferred_element_type=jnp.float32) * scale
+                else:
+                    logits = jnp.einsum("bhgd,bhsd->bhgs", qg,
+                                        ck_v.astype(dtype),
+                                        preferred_element_type=jnp.float32
+                                        ) * scale
                 logits = jnp.where(mask[:, :, None, :], logits,
                                    -1e30)
-                probs = jax.nn.softmax(logits, axis=-1)
-                out = jnp.einsum("bhgs,bhsd->bhgd",
-                                 probs.astype(dtype), cv_v.astype(dtype))
+                if attn_variant == "nosoftmax":
+                    probs = logits * (1.0 / cap)
+                else:
+                    probs = jax.nn.softmax(logits, axis=-1)
+                if attn_variant in ("int8dot", "qk_bf16dot") and args.int8:
+                    # probs quantized to uint-ish int8 (probs in [0,1]).
+                    pi = jnp.clip(jnp.round(probs * 127.), 0, 127
+                                  ).astype(jnp.int8)
+                    oi = jnp.einsum("bhgs,bhsd->bhgd", pi, cv_v,
+                                    preferred_element_type=jnp.int32)
+                    out = (oi.astype(jnp.float32) / 127.).astype(dtype)
+                else:
+                    out = jnp.einsum("bhgs,bhsd->bhgd",
+                                     probs.astype(dtype),
+                                     cv_v.astype(dtype))
                 out = out.reshape(B, Hq, 1, D)
             else:
                 # Keep q/k/v live without touching the cache.
@@ -264,11 +298,12 @@ def main():
         return logits, cache
 
     def measure(name, do_append, do_attn, append_once=False,
-                unfused=False, append_mode="big"):
+                unfused=False, append_mode="big", attn_variant="dequant"):
         cache = make_cache()
         fn = jax.jit(partial(step, do_append=do_append, do_attn=do_attn,
                              append_once=append_once, unfused=unfused,
-                             append_mode=append_mode),
+                             append_mode=append_mode,
+                             attn_variant=attn_variant),
                      donate_argnums=(3,))
         tok = jnp.zeros((B,), jnp.int32) + 7
         vpos = jnp.full((B,), 4000, jnp.int32)
@@ -318,16 +353,25 @@ def main():
     r = {}
     r["base"] = measure("base", False, False)
     r["append"] = measure("append", True, False)
-    r["append_small"] = measure("append_small", True, False,
-                                append_mode="small")
-    r["append_static"] = measure("append_static", True, False,
-                                 append_mode="static")
+    r["attn_only"] = measure("attn_only", False, True)
     r["full"] = measure("full", True, True)
-    log(f"== kvhead={args.kvhead} cap={cap} Hc={Hc}: "
+    if args.int8:
+        r["attn_nosm"] = measure("attn_nosm", False, True,
+                                 attn_variant="nosoftmax")
+        r["attn_i8dot"] = measure("attn_i8dot", False, True,
+                                  attn_variant="int8dot")
+        r["attn_i8v"] = measure("attn_i8v", False, True,
+                                attn_variant="qk_bf16dot")
+    else:
+        r["append_small"] = measure("append_small", True, False,
+                                    append_mode="small")
+        r["append_static"] = measure("append_static", True, False,
+                                     append_mode="static")
+    log(f"== kvhead={args.kvhead} int8={args.int8} B={B} cap={cap} "
+        f"Hc={Hc}: "
         + "  ".join(f"{k}={v:.2f}ms" for k, v in r.items()))
-    log(f"   append cost {r['append']-r['base']:.2f}ms "
-        f"(small: {r['append_small']-r['base']:.2f}ms, "
-        f"static: {r['append_static']-r['base']:.2f}ms)")
+    log(f"   append cost {r['append']-r['base']:.2f}ms; "
+        f"attn cost {r['attn_only']-r['base']:.2f}ms")
 
 
 if __name__ == "__main__":

@@ -224,3 +224,78 @@ def test_model_uses_fused_kernel_identically():
             seq.append(int(tok[0]))
         seqs[backend] = seq
     assert seqs["xla"] == seqs["pallas_interpret"]
+
+
+def test_fused_int8_cache_matches_dequant_xla():
+    """Int8 cache tiles dequant in-register; kernel == XLA on the
+    dequantized cache (scales are folded outside the kernel, so inside
+    it the int8 ints ARE the values)."""
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((B, H, 2, D)), jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 128, (B, H, CAP, D)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (B, H, CAP, D)), jnp.int8)
+    length = jnp.asarray([100, 200], jnp.int32)
+    pvalid = jnp.broadcast_to(length[:, None], (B, H))
+    mask = slot_mask(length, pvalid, 0, CAP)
+    kf, vf = k8.astype(jnp.float32), v8.astype(jnp.float32)
+    out_x, probs_x = decode_attention(q[:, :, :1], kf, vf, mask)
+    out_p, probs_p = fused_decode_attention(q, k8, v8, length, pvalid,
+                                            chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(probs_p[:, :, 0]),
+                               np.asarray(probs_x), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_int8_new_token_folding():
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 128, (B, H, CAP, D)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (B, H, CAP, D)), jnp.int8)
+    kn = jnp.asarray(rng.integers(-127, 128, (B, H, 1, D)), jnp.int8)
+    vn = jnp.asarray(rng.integers(-127, 128, (B, H, 1, D)), jnp.int8)
+    length = jnp.asarray([100, 200], jnp.int32)
+    k_app = k8.at[0, :, 100].set(kn[0, :, 0]).at[1, :, 200].set(kn[1, :, 0])
+    v_app = v8.at[0, :, 100].set(vn[0, :, 0]).at[1, :, 200].set(vn[1, :, 0])
+    pvalid = jnp.broadcast_to(length[:, None], (B, H))
+    mask = slot_mask(length + 1, pvalid, 0, CAP)
+    out_x, _ = decode_attention(q, k_app.astype(jnp.float32),
+                                v_app.astype(jnp.float32), mask)
+    out_p, pr = fused_decode_attention(q, k8, v8, length, pvalid,
+                                       need_probs=False, new_k=kn,
+                                       new_v=vn, chunk=128, interpret=True)
+    assert pr is None
+    np.testing.assert_allclose(np.asarray(out_p[:, :, 0]),
+                               np.asarray(out_x[:, :, 0]),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_model_fused_int8_matches_xla_int8():
+    """End-to-end with kv_dtype=int8: pallas_interpret == xla tokens."""
+    comp = CompressionConfig(method="h2o", decoding_metric="fixed",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3,
+                             evict_per_qhead=False)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(2), jnp.float32)
+    rng = np.random.default_rng(2)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+    seqs = {}
+    for backend in ("xla", "pallas_interpret"):
+        ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=32,
+                            dtype="float32", attn_backend=backend,
+                            kv_dtype="int8",
+                            fused_decode_attention=True)
+        logits, cache, state = llama.prefill(TINY_LLAMA, comp, ecfg,
+                                             params, toks, tl)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq = [int(tok[0])]
+        for s in range(20):
+            logits, cache, state = llama.decode_step(
+                TINY_LLAMA, comp, ecfg, params, tok, tl + s, cache, state)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            seq.append(int(tok[0]))
+        seqs[backend] = seq
+    assert seqs["xla"] == seqs["pallas_interpret"]
