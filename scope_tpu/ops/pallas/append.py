@@ -28,13 +28,29 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE = 8   # slot-axis tile granule (f32 sublane count; safe for bf16)
 
 
-def _kernel(len_ref, tok_k_ref, tok_v_ref, k_blk, v_blk, ko_blk, vo_blk):
+def _tile_for(dtype) -> int:
+    """Slot-axis tile granule honouring Mosaic sublane packing."""
+    return {1: 32, 2: 16}.get(jnp.dtype(dtype).itemsize, _TILE)
+
+
+def _kernel(len_ref, tok_k_ref, tok_v_ref, k_blk, v_blk, ko_blk, vo_blk,
+            *, tile: int):
     b = pl.program_id(1)
-    row = len_ref[b] % _TILE
-    sub = jax.lax.broadcasted_iota(jnp.int32, (1, _TILE, 1), 1)
+    row = len_ref[b] % tile
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, tile, 1), 1)
     keep = sub != row                                 # [1, TILE, 1]
     ko_blk[0, 0] = jnp.where(keep, k_blk[0, 0], tok_k_ref[0, 0])
     vo_blk[0, 0] = jnp.where(keep, v_blk[0, 0], tok_v_ref[0, 0])
+
+
+def _kernel_uniform(len_ref, tok_k_ref, tok_v_ref, k_blk, v_blk,
+                    ko_blk, vo_blk, *, tile: int):
+    """All rows share one append slot: one program per layer."""
+    row = len_ref[0] % tile
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, tile, 1), 3)
+    keep = sub != row                               # [1,1,1,TILE,1]
+    ko_blk[...] = jnp.where(keep, k_blk[...], tok_k_ref[...])
+    vo_blk[...] = jnp.where(keep, v_blk[...], tok_v_ref[...])
 
 
 def append_tokens(cache_k: jnp.ndarray,   # [L, B, H, S, D]
@@ -46,33 +62,64 @@ def append_tokens(cache_k: jnp.ndarray,   # [L, B, H, S, D]
     """Write every layer's token k/v at slot ``length`` (per row) IN PLACE.
 
     Returns the aliased (cache_k, cache_v) — the only blocks written are
-    the (layer, row) tiles containing the append slot."""
+    the (layer, row) tiles containing the append slot.
+
+    A scalar ``length`` (all rows share the slot — uniform_lengths mode)
+    runs one program per LAYER on a [1, B, H, TILE, D] block instead of
+    one per (layer, row): L grid steps, not L*B."""
     L, B, H, S, D = cache_k.shape
+    tile = _tile_for(cache_k.dtype)
+    uniform = jnp.ndim(length) == 0
     ln = jnp.asarray(length, jnp.int32).reshape(-1)
-    ln = jnp.broadcast_to(ln, (B,))
 
-    def blk_map(l, b, ln):
-        return (l, b, 0, ln[b] // _TILE, 0)
+    if uniform:
+        def blk_map_u(l, ln):
+            return (l, 0, 0, ln[0] // tile, 0)
 
-    def tok_map(l, b, ln):
-        return (l, b, 0, 0, 0)
+        def tok_map_u(l, ln):
+            return (l, 0, 0, 0, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(L, B),
-        in_specs=[
-            pl.BlockSpec((1, 1, H, 1, D), tok_map),
-            pl.BlockSpec((1, 1, H, 1, D), tok_map),
-            pl.BlockSpec((1, 1, H, _TILE, D), blk_map),
-            pl.BlockSpec((1, 1, H, _TILE, D), blk_map),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, H, _TILE, D), blk_map),
-            pl.BlockSpec((1, 1, H, _TILE, D), blk_map),
-        ],
-    )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L,),
+            in_specs=[
+                pl.BlockSpec((1, B, H, 1, D), tok_map_u),
+                pl.BlockSpec((1, B, H, 1, D), tok_map_u),
+                pl.BlockSpec((1, B, H, tile, D), blk_map_u),
+                pl.BlockSpec((1, B, H, tile, D), blk_map_u),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B, H, tile, D), blk_map_u),
+                pl.BlockSpec((1, B, H, tile, D), blk_map_u),
+            ],
+        )
+        kernel = functools.partial(_kernel_uniform, tile=tile)
+    else:
+        ln = jnp.broadcast_to(ln, (B,))
+
+        def blk_map(l, b, ln):
+            return (l, b, 0, ln[b] // tile, 0)
+
+        def tok_map(l, b, ln):
+            return (l, b, 0, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, B),
+            in_specs=[
+                pl.BlockSpec((1, 1, H, 1, D), tok_map),
+                pl.BlockSpec((1, 1, H, 1, D), tok_map),
+                pl.BlockSpec((1, 1, H, tile, D), blk_map),
+                pl.BlockSpec((1, 1, H, tile, D), blk_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, H, tile, D), blk_map),
+                pl.BlockSpec((1, 1, H, tile, D), blk_map),
+            ],
+        )
+        kernel = functools.partial(_kernel, tile=tile)
     k2, v2 = pl.pallas_call(
-        _kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),

@@ -353,6 +353,8 @@ def main():
     r = {}
     r["base"] = measure("base", False, False)
     r["append"] = measure("append", True, False)
+    r["append_once"] = measure("append_once", False, False,
+                               append_once=True)
     r["attn_only"] = measure("attn_only", False, True)
     r["full"] = measure("full", True, True)
     if args.int8:

@@ -53,3 +53,18 @@ def test_append_bf16_under_jit():
     # Other slots untouched.
     np.testing.assert_array_equal(np.asarray(k2[:, :, :, 1:]),
                                   np.asarray(k[:, :, :, 1:]))
+
+
+def test_append_uniform_int8():
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8)
+    tk = jnp.asarray(rng.integers(-127, 128, (L, B, H, 1, D)), jnp.int8)
+    tv = jnp.asarray(rng.integers(-127, 128, (L, B, H, 1, D)), jnp.int8)
+    k2, v2 = append_tokens(k, v, tk, tv, jnp.int32(13), interpret=True)
+    ref_k = np.asarray(k).copy()
+    ref_k[:, :, :, 13:14] = np.asarray(tk)
+    ref_v = np.asarray(v).copy()
+    ref_v[:, :, :, 13:14] = np.asarray(tv)
+    np.testing.assert_array_equal(np.asarray(k2), ref_k)
+    np.testing.assert_array_equal(np.asarray(v2), ref_v)
