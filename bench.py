@@ -98,36 +98,51 @@ def measure_decode(spec, comp, ecfg, params, prompt_len, steps=64,
             sched.length = fake_len   # mirror the simulated cache length
 
         def step_fn(p, t, v, c, st):
-            return dec.step(sched, p, t, v, c, st)
+            # step_auto chunks fire-free runs when ecfg.decode_chunk_sizes
+            # is set; returns [B, k] tokens (k == 1 in per-step mode).
+            return dec.step_auto(sched, p, t, v, c, st)
     else:
-        step_fn = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
-                          donate_argnums=(3,))
+        _dstep = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
+                         donate_argnums=(3,))
 
+        def step_fn(p, t, v, c, st):
+            logits, c, st = _dstep(p, t, v, c, st)
+            return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], c, st
+
+    if sched is not None and ecfg.decode_chunk_sizes:
+        # Cover two full fire periods so every chunk-size program (and
+        # the force step) compiles during warmup, not mid-timing.
+        warmup = max(warmup,
+                     2 * comp.delta + 2 * max(ecfg.decode_chunk_sizes) + 2)
     s = 0
     t_compile = time.perf_counter()
-    for _ in range(warmup):
-        logits, cache, state = step_fn(params, tok, tl + s, cache, state)
-        tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        s += 1
+    while s < warmup:
+        toks, cache, state = step_fn(params, tok, tl + s, cache, state)
+        tok = toks[:, -1]
+        s += toks.shape[1]
     _ = jax.device_get(tok)   # hard sync through the transport
     log(f"  warmup+compile: {time.perf_counter() - t_compile:.1f}s")
 
     # Two timed repetitions, conservative (slower) wins: the async
     # transport has been observed to mis-report completion under memory
     # pressure, so each rep ends with a real device->host fetch.
-    times = []
+    times, counts = [], []
     for _rep in range(2):
+        n_tok = 0
         t0 = time.perf_counter()
-        for _ in range(steps):
-            logits, cache, state = step_fn(params, tok, tl + s, cache,
-                                           state)
-            tok = jnp.argmax(logits, -1).astype(jnp.int32)
-            s += 1
+        while n_tok < steps:
+            toks, cache, state = step_fn(params, tok, tl + s, cache,
+                                         state)
+            tok = toks[:, -1]
+            k = toks.shape[1]
+            s += k
+            n_tok += k
         _ = jax.device_get(tok)
         times.append(time.perf_counter() - t0)
-    dt = max(times)
-    log(f"  reps: {[f'{t*1e3/steps:.2f}ms' for t in times]}")
-    return batch * steps / dt
+        counts.append(n_tok)
+    per_tok = max(t / n for t, n in zip(times, counts))
+    log(f"  reps: {[f'{t*1e3/n:.2f}ms' for t, n in zip(times, counts)]}")
+    return batch / per_tok
 
 
 def _measure_prefill(spec, comp, ecfg, params, prompt_len, reps=3):

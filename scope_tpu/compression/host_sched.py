@@ -158,6 +158,35 @@ class HostScheduler:
         self.length = self.pseg + n_keep + r
         return StepPlan(fire=True, n_keep=n_keep, w_t=w_t)
 
+    # -- chunk planning ------------------------------------------------
+    def _snapshot(self):
+        return (self.length, self.step_counter, self.jump_step,
+                self.jump_layer)
+
+    def _restore(self, snap):
+        (self.length, self.step_counter, self.jump_step,
+         self.jump_layer) = snap
+
+    def hot_run_length(self, max_n: int) -> int:
+        """How many of the next ``max_n`` steps are fire-free.
+
+        Peeks by simulating plan_step on the (tiny, deterministic) mirror
+        state and restoring it — the caller can then dispatch one multi-
+        step hot program covering that run (models/llama.py decode_steps)
+        and advance the mirror with ``advance_hot(n)``."""
+        snap = self._snapshot()
+        n = 0
+        while n < max_n and not self.plan_step().fire:
+            n += 1
+        self._restore(snap)
+        return n
+
+    def advance_hot(self, n: int):
+        """Advance the mirror over ``n`` known-fire-free steps."""
+        for _ in range(n):
+            plan = self.plan_step()
+            assert not plan.fire, "advance_hot crossed a fire step"
+
 
 class LayeredHostScheduler:
     """Per-layer host mirror for PyramidKV's layer-decayed budgets.
@@ -225,6 +254,28 @@ class LayeredHostScheduler:
                 self.lengths[l] = self.pseg + nk + r
         return LayeredStepPlan(fire_any=any(fire), fire=fire,
                                n_keep=n_keep)
+
+    # -- chunk planning (see HostScheduler) -----------------------------
+    def _snapshot(self):
+        return (list(self.lengths), self.step_counter, self.jump_step,
+                self.jump_layer)
+
+    def _restore(self, snap):
+        lengths, self.step_counter, self.jump_step, self.jump_layer = snap
+        self.lengths = lengths
+
+    def hot_run_length(self, max_n: int) -> int:
+        snap = self._snapshot()
+        n = 0
+        while n < max_n and not self.plan_step().fire_any:
+            n += 1
+        self._restore(snap)
+        return n
+
+    def advance_hot(self, n: int):
+        for _ in range(n):
+            plan = self.plan_step()
+            assert not plan.fire_any, "advance_hot crossed a fire step"
 
     @property
     def length(self) -> int:

@@ -172,6 +172,14 @@ class EngineConfig:
     # (single dynamic_update_slice) cache-write fast path for batch > 1;
     # per-row paths otherwise.
     uniform_lengths: bool = False
+    # Host-scheduled decode: dispatch runs of fire-free steps as ONE
+    # jitted multi-step program (lax.scan over the hot step; the cache
+    # stays in place as the loop carry).  Per-step jit calls pay a fixed
+    # per-call cost that scales with the cache buffers (donated-buffer
+    # copy + transport, ~4.5ms at 1B b64 int8 — scripts/bisect_step.py);
+    # chunking pays it once per chunk.  Sizes are tried largest-first;
+    # empty tuple = per-step dispatch (reference-style per-token timing).
+    decode_chunk_sizes: Tuple[int, ...] = ()
 
     def resolve_attn_backend(self) -> str:
         if self.attn_backend != "auto":

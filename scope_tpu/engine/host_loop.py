@@ -65,6 +65,39 @@ class HostScheduledDecoder:
             self._step_fns[bucket] = fn
         return fn
 
+    def _step_chunk(self, bucket: int, n: int):
+        """Jitted n-step hot chunk (llama.decode_steps) at ``bucket``."""
+        fn = self._step_fns.get((bucket, n))
+        if fn is None:
+            fn = jax.jit(
+                partial(llama.decode_steps, self.spec, self.comp,
+                        self.ecfg, n_steps=n, attn_cap=bucket,
+                        layer_uniform_lengths=not self._layered),
+                donate_argnums=(3,))
+            self._step_fns[(bucket, n)] = fn
+        return fn
+
+    def step_auto(self, sched, params, tok, vpos, cache, state):
+        """Advance 1..max(chunk_sizes) decode steps, chunking fire-free
+        runs into one program (ecfg.decode_chunk_sizes; empty = always
+        per-step).  Returns (tokens [B, k] device array, cache, state);
+        the LAST column is the next step's input token."""
+        sizes = tuple(s for s in sorted(self.ecfg.decode_chunk_sizes,
+                                        reverse=True) if s > 1)
+        if sizes:
+            run = sched.hot_run_length(sizes[0])
+            for n in sizes:
+                if n <= run:
+                    bucket = self._bucket_for(sched.length + n)
+                    toks, cache, state = self._step_chunk(bucket, n)(
+                        params, tok, vpos, cache, state)
+                    sched.advance_hot(n)
+                    return toks, cache, state
+        logits, cache, state = self.step(sched, params, tok, vpos, cache,
+                                         state)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return tok[:, None], cache, state
+
     def _bucket_for(self, needed: int) -> int:
         for b in self._buckets:
             if needed <= b:
@@ -136,16 +169,25 @@ def host_generate(spec: ModelSpec, comp: CompressionConfig,
     done = np.isin(out[0], list(eos)) if eos else np.zeros_like(out[0],
                                                                 bool)
     s = 0
+    # With ecfg.decode_chunk_sizes set, fire-free runs execute as one
+    # multi-step program; tokens in a chunk share the chunk-end timestamp
+    # (TPOT is then per-chunk-averaged, not per-token).
     while len(out) < max_new and not done.all():
-        logits, cache, state = dec.step(sched, params, tok, tl + s, cache,
-                                        state)
-        tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        arr = np.asarray(tok)
-        timestamps.append(time.perf_counter())
-        out.append(arr)
-        if eos:
-            done |= np.isin(arr, list(eos))
-        s += 1
+        toks, cache, state = dec.step_auto(sched, params, tok, tl + s,
+                                           cache, state)
+        arr = np.asarray(toks)                      # [B, k]
+        t_now = time.perf_counter()
+        for j in range(arr.shape[1]):
+            if len(out) >= max_new:
+                break
+            timestamps.append(t_now)
+            out.append(arr[:, j])
+            if eos:
+                done |= np.isin(arr[:, j], list(eos))
+            if done.all():
+                break
+        tok = toks[:, -1]
+        s += arr.shape[1]
     gen = np.stack(out, axis=1)
     stats = {
         "ttft_s": timestamps[0] - t0,

@@ -524,6 +524,42 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     return logits, cache, state
 
 
+def decode_steps(spec: ModelSpec, comp: CompressionConfig,
+                 ecfg: EngineConfig, params: Params, token: jnp.ndarray,
+                 vpos: jnp.ndarray, cache: KVCache, state: SchedState,
+                 n_steps: int, attn_cap: Optional[int] = None,
+                 layer_uniform_lengths: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, SchedState]:
+    """Run ``n_steps`` greedy HOT decode steps in ONE jitted program.
+
+    Per-step jit calls pay a fixed per-call cost on the big cache buffers
+    (the donated k/v copy through the runtime plus transport overhead —
+    measured ~0.9ms at 1B b4 bf16 and ~4.5ms at b64 int8, i.e. it scales
+    with buffer size like a full copy, see scripts/bisect_step.py).  A
+    ``lax.scan`` over steps keeps the cache as the loop carry, so the
+    in-place appends stay inside one executable and that cost is paid
+    once per CHUNK instead of once per token.
+
+    Only valid for steps where no compression fires (compress_mode="off"
+    semantics); the host scheduler plans fire-free runs
+    (HostScheduler.hot_run_length).  token: [B] the input token; returns
+    (tokens [B, n_steps] generated greedily — the last one is the next
+    step's input token — plus cache, state).
+    """
+    def body(carry, _):
+        tok, vp, cache, state = carry
+        logits, cache, state = decode_step(
+            spec, comp, ecfg, params, tok, vp, cache, state,
+            compress_mode="off", attn_cap=attn_cap,
+            layer_uniform_lengths=layer_uniform_lengths)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        return (nxt, vp + 1, cache, state), nxt
+
+    (tok, vpos, cache, state), toks = lax.scan(
+        body, (token, vpos, cache, state), None, length=n_steps)
+    return jnp.moveaxis(toks, 0, 1), cache, state
+
+
 def _deferred_decode_attention(q, cache_k, cache_v, mask, k_new, v_new, *,
                                softmax_f32=True):
     """Decode attention over the cache PLUS the step's un-appended token.

@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--backends", nargs="+",
                     default=["xla", "pallas", "pallas_ak"],
                     help="xla | pallas (fused attn kernel) | pallas_ak "
-                         "(fused attn + in-place append kernel)")
+                         "(fused attn + in-place append kernel) | xla_ak "
+                         "(XLA attention + in-place append kernel only)")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +55,9 @@ def main():
                 attn_backend="xla" if backend == "xla" else "pallas",
                 fused_decode_attention=backend.startswith("pallas"),
                 append_kernel=backend.endswith("_ak"))
+            # xla_ak: attn_backend must be "pallas" to enable the append
+            # kernel gate, but fused attention stays off so attention runs
+            # the XLA einsum path — isolates the append kernel's effect.
             try:
                 tps = measure_decode(spec, comp, ecfg, params, 2048,
                                      steps=args.steps, batch=b)
