@@ -271,38 +271,76 @@ class ServingEngine:
         return self._hdec._step_off(bucket)(
             self.params, tok, vpos, self.cache, self.state)
 
+    def _plan_chunk(self) -> int:
+        """Largest configured chunk size n such that ALL active slots are
+        fire-free for the next n steps and none finishes its budget
+        mid-chunk; 0 = dispatch per-step.  Chunking is skipped while
+        admissions are pending (a chunk would delay them) or any active
+        row samples (chunks decode greedily)."""
+        if (not self._host_mode or not self.ecfg.decode_chunk_sizes
+                or self._pending_prefills or self.sched.queued > 0
+                or np.any(self._samp_t > 0.0)):
+            return 0
+        sizes = sorted((s for s in self.ecfg.decode_chunk_sizes if s > 1),
+                       reverse=True)
+        if not sizes:
+            return 0
+        run = min(self._slot_scheds[i].hot_run_length(sizes[0])
+                  for i, s in enumerate(self.slots) if s.active)
+        run = min(run, *(s.max_new - len(s.tokens)
+                         for s in self.slots if s.active))
+        for n in sizes:
+            if n <= run:
+                return n
+        return 0
+
     def step(self):
         """Admit what fits, advance at most one admission-prefill chunk,
-        then run one batched decode step."""
+        then run one batched decode step (or one multi-step hot chunk —
+        ecfg.decode_chunk_sizes — when every active slot is fire-free)."""
         self._admit()
         prefilled = self._advance_prefill() if self._chunker else False
         if not any(s.active for s in self.slots):
             return prefilled
         tok = jnp.asarray(self.cur_tok, jnp.int32)
         vpos = jnp.asarray(self.vpos, jnp.int32)
-        if self._host_mode:
-            logits, self.cache, self.state = self._host_decode(tok, vpos)
+        n = self._plan_chunk()
+        if n:
+            needed = max(self._slot_scheds[i].length + n
+                         for i, s in enumerate(self.slots) if s.active)
+            bucket = self._hdec._bucket_for(needed)
+            toks_dev, self.cache, self.state = self._hdec._step_chunk(
+                bucket, n)(self.params, tok, vpos, self.cache, self.state)
+            for i, s in enumerate(self.slots):
+                if s.active:
+                    self._slot_scheds[i].advance_hot(n)
         else:
-            logits, self.cache, self.state = self._decode(
-                self.params, tok, vpos, self.cache, self.state)
-        if np.any(self._samp_t > 0.0):
-            nxt_dev = self._sampler(
-                logits, jnp.asarray(self._samp_seed), vpos + 1,
-                jnp.asarray(self._samp_t), jnp.asarray(self._samp_k),
-                jnp.asarray(self._samp_p))
-        else:
-            nxt_dev = jnp.argmax(logits, -1)
-        nxt = np.asarray(jax.device_get(nxt_dev))
-        for slot, s in enumerate(self.slots):
-            if not s.active:
-                continue
-            tok = int(nxt[slot])
-            s.tokens.append(tok)
-            self.cur_tok[slot] = tok
-            self.vpos[slot] += 1
-            hit_cap = self.sched.step(slot)
-            if tok in self.eos_ids or hit_cap or len(s.tokens) >= s.max_new:
-                self._finish(slot)
+            if self._host_mode:
+                logits, self.cache, self.state = self._host_decode(tok,
+                                                                   vpos)
+            else:
+                logits, self.cache, self.state = self._decode(
+                    self.params, tok, vpos, self.cache, self.state)
+            if np.any(self._samp_t > 0.0):
+                toks_dev = self._sampler(
+                    logits, jnp.asarray(self._samp_seed), vpos + 1,
+                    jnp.asarray(self._samp_t), jnp.asarray(self._samp_k),
+                    jnp.asarray(self._samp_p))[:, None]
+            else:
+                toks_dev = jnp.argmax(logits, -1)[:, None]
+        nxt = np.asarray(jax.device_get(toks_dev))           # [B, k]
+        for j in range(nxt.shape[1]):
+            for slot, s in enumerate(self.slots):
+                if not s.active:
+                    continue
+                tok_j = int(nxt[slot, j])
+                s.tokens.append(tok_j)
+                self.cur_tok[slot] = tok_j
+                self.vpos[slot] += 1
+                hit_cap = self.sched.step(slot)
+                if (tok_j in self.eos_ids or hit_cap
+                        or len(s.tokens) >= s.max_new):
+                    self._finish(slot)
         return True
 
     def run(self, max_steps: int = 1_000_000) -> Dict[int, List[int]]:

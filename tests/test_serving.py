@@ -171,6 +171,35 @@ def test_serving_chunked_admission_matches():
                                       np.array(res_c[rc]))
 
 
+@pytest.mark.parametrize("metric", ["none", "jump"])
+def test_serving_chunked_decode_matches(metric):
+    """Multi-step hot chunks in serving (decode_chunk_sizes) produce
+    exactly the per-step engine's tokens, across slot reuse and
+    staggered lengths."""
+    import dataclasses
+    comp = CompressionConfig(method="h2o", decoding_metric=metric,
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120, 90, 64)]
+
+    eng_ref = ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
+    ids_ref = [eng_ref.submit(p, 12) for p in prompts]
+    res_ref = eng_ref.run()
+
+    ecfg_c = dataclasses.replace(ECFG, decode_chunk_sizes=(4, 2))
+    eng_c = ServingEngine(TINY_LLAMA, comp, ecfg_c, params, max_slots=2)
+    ids_c = [eng_c.submit(p, 12) for p in prompts]
+    res_c = eng_c.run()
+
+    for rr, rc in zip(ids_ref, ids_c):
+        np.testing.assert_array_equal(np.array(res_ref[rr]),
+                                      np.array(res_c[rc]))
+
+
 def test_serving_headline_config_kvhead_int8():
     """The headline serving configuration (h2o+jump, per-KV-head eviction,
     int8 KV) matches dedicated single-stream generation per request."""
