@@ -165,6 +165,11 @@ def parse_args(argv=None):
     p.add_argument("--shot_number", type=int, default=8)
     p.add_argument("--chunk_size", type=int, default=16)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--weight_dtype", type=str, default="",
+                   choices=["", "int8"],
+                   help="weight-only int8 (per-output-channel; "
+                        "ops/quant.quantize_layer_weights) — halves the "
+                        "weight HBM stream; default keeps the load dtype")
     p.add_argument("--kv_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "int8"],
                    help="KV cache storage dtype (int8: per-channel "
@@ -193,6 +198,9 @@ def main(argv=None):
         params = llama.init_params(spec, jax.random.key(args.seed), dtype)
     else:
         spec, params = load_hf_checkpoint(args.model_path, dtype)
+    if args.weight_dtype == "int8":
+        from scope_tpu.ops import quant
+        params = quant.quantize_layer_weights(params)
 
     tokenizer = load_tokenizer(args)
     model_name = (args.model_path or spec.name).rstrip("/").split("/")[-1]

@@ -34,8 +34,8 @@ from scope_tpu.compression.schedulers import (DecodeCaps, SchedState,
                                               static_keep_cap)
 from scope_tpu.config import CompressionConfig, EngineConfig, ModelSpec
 from scope_tpu.ops.attention import (decode_attention, prefill_attention)
-from scope_tpu.ops.common import (apply_rope, repeat_kv, rms_norm,
-                                  rope_cos_sin, rope_inv_freq, swiglu)
+from scope_tpu.ops.common import (apply_rope, mlp, repeat_kv, rms_norm,
+                                  rope_cos_sin, rope_inv_freq, wdot)
 
 Params = Dict[str, Any]
 
@@ -124,7 +124,7 @@ def layer_qkv(spec: ModelSpec, p, x: jnp.ndarray, cos, sin):
     Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
     G = spec.num_kv_groups
     h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-    qkv = jnp.dot(h, p["wqkv"]).reshape(B, S, Hkv, G + 2, D)
+    qkv = wdot(h, p, "wqkv").reshape(B, S, Hkv, G + 2, D)
     q = qkv[:, :, :, :G].reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
     k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
     v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
@@ -135,9 +135,9 @@ def layer_post(spec: ModelSpec, p, x: jnp.ndarray, out: jnp.ndarray):
     """Output projection + residual + MLP block.  out: [B, Hq, S, D]."""
     B, S = x.shape[:2]
     out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
-    x = x + jnp.dot(out, p["wo"])
+    x = x + wdot(out, p, "wo")
     h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-    return x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+    return x + mlp(h2, p)
 
 
 # --------------------------------------------------------------------------
@@ -306,7 +306,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     for l in range(L):
         p = {name: arr[l] for name, arr in lp.items()}
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-        qkv = jnp.dot(h, p["wqkv"]).reshape(B, 1, Hkv, G + 2, D)
+        qkv = wdot(h, p, "wqkv").reshape(B, 1, Hkv, G + 2, D)
         q = qkv[:, :, :, :G].reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
         k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
         v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
@@ -484,9 +484,9 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 len_all = len_all.at[l].set(new_len)
 
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
-        x = x + jnp.dot(out, p["wo"])
+        x = x + wdot(out, p, "wo")
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
-        x = x + swiglu(h2, p["w_gate"], p["w_up"], p["w_down"])
+        x = x + mlp(h2, p)
 
     if defer_append:
         ks = jnp.stack([kk for kk, _ in staged])      # [L, B, Hc, 1, D]

@@ -85,3 +85,27 @@ def swiglu(x: jnp.ndarray, w_gate: jnp.ndarray, w_up: jnp.ndarray,
     g = jnp.dot(x, w_gate)
     u = jnp.dot(x, w_up)
     return jnp.dot(jax.nn.silu(g) * u, w_down)
+
+
+def wdot(x: jnp.ndarray, p, name: str) -> jnp.ndarray:
+    """Weight matmul with optional weight-only int8.
+
+    If ``p[name]`` is int8 (ops/quant.quantize_layer_weights), the
+    convert to x.dtype is fused into the dot's weight read — halving the
+    HBM bytes the decode step streams per weight — and the per-output-
+    channel scale ``p[name + "_scale"]`` is applied to the product.  The
+    scale is linear, so under tensor parallelism it commutes with the
+    o_proj/down all-reduce of partial sums.
+    """
+    w = p[name]
+    if w.dtype == jnp.int8:
+        out = jnp.dot(x, w.astype(x.dtype))
+        return out * p[name + "_scale"].astype(x.dtype)
+    return jnp.dot(x, w)
+
+
+def mlp(x: jnp.ndarray, p) -> jnp.ndarray:
+    """SwiGLU MLP over a layer param dict (int8-weight aware)."""
+    g = wdot(x, p, "w_gate")
+    u = wdot(x, p, "w_up")
+    return wdot(jax.nn.silu(g) * u, p, "w_down")

@@ -73,24 +73,34 @@ def append_tokens(cache_k: jnp.ndarray,   # [L, B, H, S, D]
     ln = jnp.asarray(length, jnp.int32).reshape(-1)
 
     if uniform:
-        def blk_map_u(l, ln):
-            return (l, 0, 0, ln[0] // tile, 0)
+        # Batch-tiled: a [1, B, H, tile, D] block at full serving batch
+        # exceeds the 16MB scoped-vmem budget with double buffering (lane
+        # padding inflates D=64 int8 blocks 2x), so the grid also splits
+        # B into Bb-row tiles.
+        def fits(bb):
+            return (2 * 4 * bb * H * tile * max(D, 128)
+                    * jnp.dtype(cache_k.dtype).itemsize <= 8 * 2 ** 20)
+        Bb = max(d for d in range(1, B + 1)
+                 if B % d == 0 and (d == 1 or fits(d)))
 
-        def tok_map_u(l, ln):
-            return (l, 0, 0, 0, 0)
+        def blk_map_u(l, b, ln):
+            return (l, b, 0, ln[0] // tile, 0)
+
+        def tok_map_u(l, b, ln):
+            return (l, b, 0, 0, 0)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(L,),
+            grid=(L, B // Bb),
             in_specs=[
-                pl.BlockSpec((1, B, H, 1, D), tok_map_u),
-                pl.BlockSpec((1, B, H, 1, D), tok_map_u),
-                pl.BlockSpec((1, B, H, tile, D), blk_map_u),
-                pl.BlockSpec((1, B, H, tile, D), blk_map_u),
+                pl.BlockSpec((1, Bb, H, 1, D), tok_map_u),
+                pl.BlockSpec((1, Bb, H, 1, D), tok_map_u),
+                pl.BlockSpec((1, Bb, H, tile, D), blk_map_u),
+                pl.BlockSpec((1, Bb, H, tile, D), blk_map_u),
             ],
             out_specs=[
-                pl.BlockSpec((1, B, H, tile, D), blk_map_u),
-                pl.BlockSpec((1, B, H, tile, D), blk_map_u),
+                pl.BlockSpec((1, Bb, H, tile, D), blk_map_u),
+                pl.BlockSpec((1, Bb, H, tile, D), blk_map_u),
             ],
         )
         kernel = functools.partial(_kernel_uniform, tile=tile)

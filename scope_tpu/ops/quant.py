@@ -47,3 +47,32 @@ def dequantize(x_int: jnp.ndarray, scale: jnp.ndarray, axis: int = -2,
                dtype=jnp.bfloat16) -> jnp.ndarray:
     s = jnp.expand_dims(scale, axis)
     return (x_int.astype(jnp.float32) * s).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int8 (per output channel)
+# ---------------------------------------------------------------------------
+
+WEIGHT_NAMES = ("wqkv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_layer_weights(params, names=WEIGHT_NAMES):
+    """Weight-only per-output-channel int8 for the stacked layer weights.
+
+    Decode at small batch streams every weight byte each step, so weight-
+    only int8 halves the dominant HBM traffic; activations stay bf16 and
+    the convert fuses into the matmul weight read (ops/common.wdot).
+    w: [L, E, F] -> int8 [L, E, F] + f32 scale [L, F] (one scale per
+    layer and output channel: dot(x, W)[f] = dot(x, W_i8)[f] * s[f]).
+
+    Opt-in (EngineConfig.weight_dtype="int8"); the HF-parity contract
+    keeps bf16 weights.
+    """
+    layers = dict(params["layers"])
+    for n in names:
+        w = layers[n].astype(jnp.float32)                     # [L, E, F]
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w / s[:, None, :]), -127, 127)
+        layers[n] = q.astype(jnp.int8)
+        layers[n + "_scale"] = s                              # [L, F]
+    return {**params, "layers": layers}

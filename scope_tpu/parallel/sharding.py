@@ -62,6 +62,20 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     }
     if "lm_head" in params:
         specs["lm_head"] = P(None, MODEL_AXIS)
+    # Weight-only int8 (ops/quant.quantize_layer_weights): per-output-
+    # channel scales shard exactly like their weight's output axis —
+    # sharded for column-parallel weights, replicated where the output is
+    # the all-reduced model dim.
+    scale_specs = {
+        "wqkv_scale": P(None, MODEL_AXIS),
+        "wo_scale": P(None, None),
+        "w_gate_scale": P(None, MODEL_AXIS),
+        "w_up_scale": P(None, MODEL_AXIS),
+        "w_down_scale": P(None, None),
+    }
+    for name, sp in scale_specs.items():
+        if name in params["layers"]:
+            specs["layers"][name] = sp
     return specs
 
 

@@ -26,6 +26,8 @@ def main():
                     default=["none", "8,4,2", "16,8,4,2"],
                     help="comma-separated chunk-size lists; 'none' = "
                          "per-step dispatch")
+    ap.add_argument("--weight_dtype", default="",
+                    help="'int8' = weight-only int8 layer weights")
     args = ap.parse_args()
 
     import jax
@@ -37,6 +39,10 @@ def main():
     log(f"devices: {jax.devices()}")
     spec = get_spec("llama-3.2-1b")
     params = llama.init_params(spec, jax.random.key(0), jnp.bfloat16)
+    if args.weight_dtype == "int8":
+        from scope_tpu.ops import quant
+        params = quant.quantize_layer_weights(params)
+        log("layer weights quantized to int8 (per-output-channel)")
     comp = CompressionConfig(
         method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
         window_size=8, decoding_window_size=512, decoding_recent_size=256,
