@@ -65,7 +65,8 @@ def build_state(spec, comp, ecfg, params, prompt_len, batch=1,
                 k=t(c.k), v=t(c.v), length=t(c.length),
                 pvalid=t(c.pvalid), prompt_len=t(c.prompt_len, 0),
                 page_min=t(c.page_min), page_max=t(c.page_max),
-                k_scale=t(c.k_scale), v_scale=t(c.v_scale))
+                k_scale=t(c.k_scale), v_scale=t(c.v_scale),
+                ring_k=t(c.ring_k), ring_v=t(c.ring_v))
 
         cache = tile_cache(cache)
         logits = jnp.concatenate([logits] * reps, 0)[:batch]

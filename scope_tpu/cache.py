@@ -47,6 +47,20 @@ class KVCache:
     # at prefill; slot-axis-free, so eviction gathers never touch them.
     k_scale: Optional[jnp.ndarray] = None      # [L, B, H, D] f32
     v_scale: Optional[jnp.ndarray] = None      # [L, B, H, D] f32
+    # Staging ring (EngineConfig.decode_ring > 0): hot decode steps write
+    # the per-step token k/v HERE instead of the big k/v buffers — an
+    # update on a big buffer costs a near-full-buffer copy on TPU however
+    # it is expressed (per-call, in-scan, pallas-aliased; measured
+    # scripts/bisect_step.py + scripts/micro_dus.py), while updates on
+    # this small buffer are ~free.  Attention folds ring slots [0, fill);
+    # the host flushes the ring into the big buffers (one amortized copy)
+    # every R steps, before any compression fire, and before admissions.
+    # ``length`` counts only FLUSHED tokens; virtual length = length+fill.
+    ring_k: Optional[jnp.ndarray] = None       # [L, B, H, R, D]
+    ring_v: Optional[jnp.ndarray] = None
+    ring_fill: Optional[jnp.ndarray] = None    # [] int32, uniform for all
+    #                                            rows/layers (every row
+    #                                            appends every step)
 
     @property
     def num_layers(self):
@@ -60,10 +74,11 @@ class KVCache:
 def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
                head_dim: int, dtype, prefill_gap: int = 0,
                with_pages: bool = False, num_pages: int = 0,
-               kv_dtype: str = "") -> KVCache:
+               kv_dtype: str = "", ring: int = 0) -> KVCache:
     store = jnp.int8 if kv_dtype == "int8" else dtype
     shape = (num_layers, batch, num_heads, capacity, head_dim)
     sshape = (num_layers, batch, num_heads, head_dim)
+    rshape = (num_layers, batch, num_heads, ring, head_dim)
     int8 = kv_dtype == "int8"
     return KVCache(
         k=jnp.zeros(shape, store),
@@ -78,7 +93,49 @@ def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
                              head_dim), dtype) if with_pages else None),
         k_scale=jnp.ones(sshape, jnp.float32) if int8 else None,
         v_scale=jnp.ones(sshape, jnp.float32) if int8 else None,
+        ring_k=jnp.zeros(rshape, store) if ring else None,
+        ring_v=jnp.zeros(rshape, store) if ring else None,
+        ring_fill=jnp.zeros((), jnp.int32) if ring else None,
     )
+
+
+def flush_ring(cache: KVCache, uniform_rows: bool,
+               uniform_layers: bool = True) -> KVCache:
+    """Write the staged ring tokens into the big k/v buffers.
+
+    The full R-slot ring block is written at each (layer, row)'s flushed
+    length (slots beyond ``ring_fill`` carry junk that stays masked —
+    the physical capacity includes R slots of slack, see
+    llama.derive_statics); ``length`` advances by ``ring_fill`` and the
+    ring resets.  One big-buffer update per flush instead of one per
+    step — this is where the per-step copy cost is amortized.
+    """
+    k, v, ln = cache.k, cache.v, cache.length
+    L, B = ln.shape
+    if uniform_rows and uniform_layers:
+        start = (0, 0, 0, ln[0, 0], 0)
+        k = lax.dynamic_update_slice(k, cache.ring_k, start)
+        v = lax.dynamic_update_slice(v, cache.ring_v, start)
+    elif uniform_layers:
+        for b in range(B):
+            sb = (0, b, 0, ln[0, b], 0)
+            k = lax.dynamic_update_slice(k, cache.ring_k[:, b:b + 1], sb)
+            v = lax.dynamic_update_slice(v, cache.ring_v[:, b:b + 1], sb)
+    else:                       # per-layer lengths (pyramidkv budgets)
+        for l in range(L):
+            if uniform_rows:
+                sl = (l, 0, 0, ln[l, 0], 0)
+                k = lax.dynamic_update_slice(k, cache.ring_k[l:l + 1], sl)
+                v = lax.dynamic_update_slice(v, cache.ring_v[l:l + 1], sl)
+            else:
+                for b in range(B):
+                    sb = (l, b, 0, ln[l, b], 0)
+                    k = lax.dynamic_update_slice(
+                        k, cache.ring_k[l:l + 1, b:b + 1], sb)
+                    v = lax.dynamic_update_slice(
+                        v, cache.ring_v[l:l + 1, b:b + 1], sb)
+    return cache.replace(k=k, v=v, length=ln + cache.ring_fill,
+                         ring_fill=jnp.zeros((), jnp.int32))
 
 
 def append_token(cache_k: jnp.ndarray, cache_v: jnp.ndarray,

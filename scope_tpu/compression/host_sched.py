@@ -105,11 +105,12 @@ class HostScheduler:
             self.pseg = prompt_len
         else:
             self.pseg = comp.max_capacity_prompt
-        self.length = prefill_kept        # physical cache length
+        self.length = prefill_kept        # virtual cache length
         self.keep_cap = keep_cap
         self.step_counter = 0             # current_decoding_step
         self.jump_step = 0
         self.jump_layer = 0
+        self.ring_fill = 0                # staged (unflushed) ring tokens
 
     def plan_step(self) -> StepPlan:
         """Advance one decode step (all L layer calls) and return whether
@@ -210,6 +211,7 @@ class LayeredHostScheduler:
         self.step_counter = 0
         self.jump_step = 0
         self.jump_layer = 0
+        self.ring_fill = 0                # staged (unflushed) ring tokens
 
     def plan_step(self) -> LayeredStepPlan:
         comp = self.comp

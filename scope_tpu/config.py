@@ -180,6 +180,16 @@ class EngineConfig:
     # chunking pays it once per chunk.  Sizes are tried largest-first;
     # empty tuple = per-step dispatch (reference-style per-token timing).
     decode_chunk_sizes: Tuple[int, ...] = ()
+    # Staging-ring size R (0 = off).  Hot host-scheduled steps write the
+    # per-step token into a small [L,B,H,R,D] ring instead of the big
+    # cache buffers — a big-buffer update costs a near-full-buffer copy
+    # on this hardware regardless of formulation (scripts/bisect_step.py,
+    # scripts/micro_dus.py) while small-buffer updates are ~free.
+    # Attention folds ring slots; the host flushes the ring every R
+    # steps / before fires / before admissions (cache.flush_ring), so
+    # the copy is paid once per R tokens.  The physical cache allocates
+    # R slots of slack so a full-R flush block never clips valid slots.
+    decode_ring: int = 0
 
     def resolve_attn_backend(self) -> str:
         if self.attn_backend != "auto":

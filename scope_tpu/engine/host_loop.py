@@ -53,6 +53,27 @@ class HostScheduledDecoder:
         self._step_force = jax.jit(
             partial(llama.decode_step, spec, comp, ecfg,
                     compress_mode="force"), donate_argnums=(3,))
+        # Staging ring (ecfg.decode_ring): hot steps write the small ring
+        # buffer; the host flushes before fires and when the ring fills.
+        self._ring = ecfg.decode_ring
+        self._flush_fns = {}
+
+    def flush(self, sched, cache, batch: int):
+        """Flush staged ring tokens into the big cache (no-op when
+        empty); resets the scheduler's fill mirror."""
+        if not self._ring or sched.ring_fill == 0:
+            return cache
+        from scope_tpu.cache import flush_ring
+        ur = batch == 1 or self.ecfg.uniform_lengths
+        fn = self._flush_fns.get(ur)
+        if fn is None:
+            fn = jax.jit(partial(flush_ring, uniform_rows=ur,
+                                 uniform_layers=not self._layered),
+                         donate_argnums=(0,))
+            self._flush_fns[ur] = fn
+        cache = fn(cache)
+        sched.ring_fill = 0
+        return cache
 
     def _step_off(self, bucket: int):
         fn = self._step_fns.get(bucket)
@@ -86,12 +107,18 @@ class HostScheduledDecoder:
                                         reverse=True) if s > 1)
         if sizes:
             run = sched.hot_run_length(sizes[0])
+            if self._ring and run > 0:
+                if self._ring - sched.ring_fill == 0:
+                    cache = self.flush(sched, cache, tok.shape[0])
+                run = min(run, self._ring - sched.ring_fill)
             for n in sizes:
                 if n <= run:
                     bucket = self._bucket_for(sched.length + n)
                     toks, cache, state = self._step_chunk(bucket, n)(
                         params, tok, vpos, cache, state)
                     sched.advance_hot(n)
+                    if self._ring:
+                        sched.ring_fill += n
                     return toks, cache, state
         logits, cache, state = self.step(sched, params, tok, vpos, cache,
                                          state)
@@ -123,6 +150,12 @@ class HostScheduledDecoder:
     def step(self, sched, params, tok, vpos, cache, state):
         plan = sched.plan_step()
         B = tok.shape[0]
+        fire = plan.fire_any if self._layered else plan.fire
+        if self._ring:
+            # Fires need a contiguous cache; a full ring must drain
+            # before another hot step can stage.
+            if fire or sched.ring_fill >= self._ring:
+                cache = self.flush(sched, cache, B)
         if self._layered:
             if plan.fire_any:
                 gate = jnp.asarray(np.broadcast_to(
@@ -134,14 +167,15 @@ class HostScheduledDecoder:
                 return self._step_force(params, tok, vpos, cache, state,
                                         force_n_keep=n_keep,
                                         force_row_gate=gate)
-            bucket = self._bucket_for(sched.length)
-            return self._step_off(bucket)(params, tok, vpos, cache, state)
-        if plan.fire:
+        elif plan.fire:
             n_keep = jnp.full((B,), plan.n_keep, jnp.int32)
             return self._step_force(params, tok, vpos, cache, state,
                                     force_n_keep=n_keep)
         bucket = self._bucket_for(sched.length)
-        return self._step_off(bucket)(params, tok, vpos, cache, state)
+        out = self._step_off(bucket)(params, tok, vpos, cache, state)
+        if self._ring:
+            sched.ring_fill += 1
+        return out
 
 
 def host_generate(spec: ModelSpec, comp: CompressionConfig,

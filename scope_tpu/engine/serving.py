@@ -94,7 +94,17 @@ class ServingEngine:
         self.cache = init_cache(spec.num_layers, max_slots, st.cache_heads,
                                 st.capacity, spec.head_dim,
                                 jnp.dtype(ecfg.dtype),
-                                kv_dtype=ecfg.kv_dtype)
+                                kv_dtype=ecfg.kv_dtype,
+                                ring=(ecfg.decode_ring if self._host_mode
+                                      else 0))
+        # Staging ring (ecfg.decode_ring, host-scheduled methods only):
+        # ONE ring shared by all slots — every active row stages each
+        # step, so the fill count is global.  Flushes happen before any
+        # fire, before admissions (a fresh row must not see another
+        # request's staged slots), and when the ring fills.
+        self._ring = ecfg.decode_ring if self._host_mode else 0
+        self._ring_fill = 0
+        self._flush_fn = None
         # Per-slot counters: each slot is an independent request stream
         # with its own linear/jump schedule (reference counters are
         # process-global and cannot serve concurrent requests).
@@ -158,8 +168,23 @@ class ServingEngine:
         return int(jax.device_get(tok)[0])
 
     # ------------------------------------------------------------------
+    def _flush_ring(self):
+        """Drain staged ring tokens into the big cache (engine-global)."""
+        if not self._ring or self._ring_fill == 0:
+            return
+        if self._flush_fn is None:
+            from scope_tpu.cache import flush_ring
+            self._flush_fn = jax.jit(
+                partial(flush_ring, uniform_rows=False,
+                        uniform_layers=True), donate_argnums=(0,))
+        self.cache = self._flush_fn(self.cache)
+        self._ring_fill = 0
+
     def _insert_row(self, slot: int, row_cache, tok0: int,
                     prompt_len: int):
+        # The fresh row must not inherit another request's staged ring
+        # slots (the ring validity mask is global).
+        self._flush_ring()
         c, r = self.cache, row_cache
 
         def put(dst, src):
@@ -262,14 +287,20 @@ class ServingEngine:
                 gate[slot] = True
                 n_keep[slot] = plan.n_keep
             needed = max(needed, self._slot_scheds[slot].length)
+        if self._ring and (fire or self._ring_fill >= self._ring):
+            # Fires rewrite the contiguous cache; a full ring must drain.
+            self._flush_ring()
         if fire:
             return self._hdec._step_force(
                 self.params, tok, vpos, self.cache, self.state,
                 force_n_keep=jnp.asarray(n_keep),
                 force_row_gate=jnp.asarray(gate))
         bucket = self._hdec._bucket_for(needed)
-        return self._hdec._step_off(bucket)(
+        out = self._hdec._step_off(bucket)(
             self.params, tok, vpos, self.cache, self.state)
+        if self._ring:
+            self._ring_fill += 1
+        return out
 
     def _plan_chunk(self) -> int:
         """Largest configured chunk size n such that ALL active slots are
@@ -289,6 +320,8 @@ class ServingEngine:
                   for i, s in enumerate(self.slots) if s.active)
         run = min(run, *(s.max_new - len(s.tokens)
                          for s in self.slots if s.active))
+        if self._ring:
+            run = min(run, self._ring)   # a chunk never spans a flush
         for n in sizes:
             if n <= run:
                 return n
@@ -306,6 +339,8 @@ class ServingEngine:
         vpos = jnp.asarray(self.vpos, jnp.int32)
         n = self._plan_chunk()
         if n:
+            if self._ring and self._ring_fill + n > self._ring:
+                self._flush_ring()
             needed = max(self._slot_scheds[i].length + n
                          for i, s in enumerate(self.slots) if s.active)
             bucket = self._hdec._bucket_for(needed)
@@ -314,6 +349,8 @@ class ServingEngine:
             for i, s in enumerate(self.slots):
                 if s.active:
                     self._slot_scheds[i].advance_hot(n)
+            if self._ring:
+                self._ring_fill += n
         else:
             if self._host_mode:
                 logits, self.cache, self.state = self._host_decode(tok,

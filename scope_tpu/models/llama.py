@@ -103,7 +103,10 @@ def derive_statics(spec: ModelSpec, comp: CompressionConfig,
     capacity = ecfg.cache_capacity(comp)
     caps = DecodeCaps(keep_cap=static_keep_cap(comp, ecfg.max_new_tokens),
                       capacity=capacity)
-    return ModelStatics(cache_heads, capacity, caps)
+    # Physical slot count: the staging ring flushes a full R-slot block
+    # at the flushed length (cache.flush_ring), so the buffer carries R
+    # slots of slack past the logical capacity the schedulers see.
+    return ModelStatics(cache_heads, capacity + ecfg.decode_ring, caps)
 
 
 def _group_scores(scores: Optional[jnp.ndarray], groups: int):
@@ -220,6 +223,12 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     prefill_gap=gap, prompt_len=true_len,
                     page_min=None, page_max=None,
                     k_scale=ks_scale, v_scale=vs_scale)
+    if ecfg.decode_ring:
+        rshape = (L, B, st.cache_heads, ecfg.decode_ring, D)
+        cache = cache.replace(
+            ring_k=jnp.zeros(rshape, cks.dtype),
+            ring_v=jnp.zeros(rshape, cvs.dtype),
+            ring_fill=jnp.zeros((), jnp.int32))
     if comp.method == "quest":
         from scope_tpu.compression.quest import build_page_metadata
         cache = build_page_metadata(comp, cache, true_len)
@@ -298,8 +307,11 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     # otherwise (still far fewer ops than 2L per-layer scatters).
     # Requires layer-uniform lengths (one slice start per row); pyramidkv
     # host scheduling passes layer_uniform_lengths=False.
-    defer_append = (compress_mode == "off" and not quest
-                    and cache.prefill_gap == 0 and layer_uniform_lengths)
+    use_ring = (cache.ring_k is not None and compress_mode == "off"
+                and not quest and cache.prefill_gap == 0)
+    defer_append = use_ring or (
+        compress_mode == "off" and not quest
+        and cache.prefill_gap == 0 and layer_uniform_lengths)
     int8_kv = ecfg.kv_dtype == "int8"
     staged = []
 
@@ -355,7 +367,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         backend = ecfg.resolve_attn_backend()
         use_fused = (ecfg.fused_decode_attention
                      and backend in ("pallas", "pallas_interpret")
-                     and not quest)
+                     and not quest and not use_ring)
         # Eviction scores are only consumed on steps that may compress;
         # hot host-scheduled steps skip materialising them entirely.
         need_probs = (comp.decoding_metric != "none"
@@ -398,6 +410,11 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     interpret=backend == "pallas_interpret")
                 out = out.reshape(B, Hq, 1, D)
                 probs = pr.sum(axis=2) if pr is not None else None
+            elif use_ring:
+                out = _ring_decode_attention(
+                    q, ck_v, cv_v, mask, cache.ring_k[l], cache.ring_v[l],
+                    cache.ring_fill, k, v, softmax_f32=ecfg.softmax_f32)
+                probs = None
             elif defer_append:
                 out = _deferred_decode_attention(
                     q, ck_v, cv_v, mask, k, v,
@@ -488,7 +505,18 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
         x = x + mlp(h2, p)
 
-    if defer_append:
+    if use_ring:
+        # Stage the step's tokens in the small ring buffer; the big k/v
+        # buffers are NOT touched (cache.length unchanged — virtual
+        # length is length + ring_fill, flushed by cache.flush_ring).
+        ks = jnp.stack([kk for kk, _ in staged])      # [L, B, Hc, 1, D]
+        vs = jnp.stack([vv for _, vv in staged])
+        start = (0, 0, 0, cache.ring_fill, 0)
+        rk = lax.dynamic_update_slice(cache.ring_k, ks, start)
+        rv = lax.dynamic_update_slice(cache.ring_v, vs, start)
+        cache = cache.replace(ring_k=rk, ring_v=rv,
+                              ring_fill=cache.ring_fill + 1)
+    elif defer_append:
         ks = jnp.stack([kk for kk, _ in staged])      # [L, B, Hc, 1, D]
         vs = jnp.stack([vv for _, vv in staged])
         backend = ecfg.resolve_attn_backend()
@@ -558,6 +586,45 @@ def decode_steps(spec: ModelSpec, comp: CompressionConfig,
     (tok, vpos, cache, state), toks = lax.scan(
         body, (token, vpos, cache, state), None, length=n_steps)
     return jnp.moveaxis(toks, 0, 1), cache, state
+
+
+def _ring_decode_attention(q, cache_k, cache_v, mask, ring_k, ring_v,
+                           fill, k_new, v_new, *, softmax_f32=True):
+    """Decode attention over [flushed cache | staged ring | this token].
+
+    q: [B, Hq, 1, D]; cache: [B, Hc, S, D] (slots < length valid via
+    ``mask``); ring: [B, Hc, R, D] with slots < ``fill`` valid (these are
+    the last ``fill`` decode tokens, not yet flushed); k_new/v_new
+    [B, Hc, 1, D] is this step's token.  One softmax over the concatenated
+    logits — identical math to attending the fully-appended cache.
+    """
+    from scope_tpu.ops.attention import NEG_INF
+    B, Hq, _, D = q.shape
+    Hc = cache_k.shape[1]
+    R = ring_k.shape[2]
+    scale = 1.0 / math.sqrt(D)
+    acc = jnp.float32 if softmax_f32 else q.dtype
+    qg = q.reshape(B, Hc, Hq // Hc, D)
+    cd = q.dtype if cache_k.dtype == jnp.int8 else cache_k.dtype
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k.astype(cd),
+                        preferred_element_type=acc) * scale
+    logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
+    l_ring = jnp.einsum("bhgd,bhsd->bhgs", qg, ring_k.astype(cd),
+                        preferred_element_type=acc) * scale
+    rmask = jnp.arange(R) < fill                              # [R]
+    l_ring = jnp.where(rmask[None, None, None, :], l_ring, NEG_INF)
+    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, k_new.astype(cd),
+                       preferred_element_type=acc) * scale
+    probs = jax.nn.softmax(
+        jnp.concatenate([logits, l_ring, l_new], axis=-1
+                        ).astype(jnp.float32), axis=-1)
+    S = cache_k.shape[2]
+    out = (jnp.einsum("bhgs,bhsd->bhgd",
+                      probs[..., :S].astype(cd), cache_v.astype(cd))
+           + jnp.einsum("bhgs,bhsd->bhgd",
+                        probs[..., S:S + R].astype(cd), ring_v.astype(cd))
+           + probs[..., -1:].astype(cd) * v_new.astype(cd))
+    return out.reshape(B, Hq, 1, D)
 
 
 def _deferred_decode_attention(q, cache_k, cache_v, mask, k_new, v_new, *,

@@ -28,6 +28,8 @@ def main():
                          "per-step dispatch")
     ap.add_argument("--weight_dtype", default="",
                     help="'int8' = weight-only int8 layer weights")
+    ap.add_argument("--ring", type=int, default=0,
+                    help="staging-ring size R (0 = off)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +58,7 @@ def main():
             ecfg = EngineConfig(
                 max_prompt_len=2048, max_new_tokens=7950, dtype="bfloat16",
                 uniform_lengths=True, kv_dtype=args.kv_dtype,
-                decode_chunk_sizes=sizes)
+                decode_chunk_sizes=sizes, decode_ring=args.ring)
             try:
                 tps = measure_decode(spec, comp, ecfg, params, 2048,
                                      steps=args.steps, batch=b)

@@ -92,9 +92,10 @@ def test_host_generate_end_to_end():
     assert len(stats["tpot_s"]) == 16
 
 
-def chunked_path(comp, params, toks, tl, steps, chunk_sizes):
+def chunked_path(comp, params, toks, tl, steps, chunk_sizes, ring=0):
     import dataclasses
-    ecfg = dataclasses.replace(ECFG, decode_chunk_sizes=chunk_sizes)
+    ecfg = dataclasses.replace(ECFG, decode_chunk_sizes=chunk_sizes,
+                               decode_ring=ring)
     dec = HostScheduledDecoder(TINY_LLAMA, comp, ecfg)
     logits, cache, state = jax.jit(
         lambda p, t, l: llama.prefill(TINY_LLAMA, comp, ecfg, p, t, l)
@@ -141,6 +142,98 @@ def test_chunked_equals_per_step(method, metric):
     # Chunked dispatch may legitimately run a few extra steps past STEPS
     # inside the final chunk, so lengths are compared via the mirror.
     assert sched.length == int(chk_cache.length.max())
+
+
+@pytest.mark.parametrize("method,metric,chunks", [
+    ("h2o", "jump", ()),
+    ("h2o", "jump", (4, 2)),
+    ("h2o", "fixed", ()),
+    ("snapkv", "linear", (4, 2)),
+    ("fullkv", "none", (4, 2)),
+    ("pyramidkv", "jump", ()),
+])
+def test_ring_equals_per_step(method, metric, chunks):
+    """The staging ring (hot steps write a small ring buffer; flushes
+    every R steps / before fires) must be token-identical to direct
+    appends, per-step and chunked."""
+    comp = CompressionConfig(
+        method=method, decoding_metric=metric, max_capacity_prompt=64,
+        window_size=8, decoding_window_size=32, decoding_recent_size=16,
+        delta=3, beta=4)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(4), jnp.float32)
+    rng = np.random.default_rng(4)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+
+    ref_seq, ref_cache, _ = host_path(comp, params, toks, tl, STEPS)
+    rng_seq, rng_cache, sched = chunked_path(comp, params, toks, tl,
+                                             STEPS, chunks, ring=8)
+    np.testing.assert_array_equal(ref_seq, rng_seq)
+    # Device length lags the virtual mirror by the staged fill.
+    assert (sched.length - sched.ring_fill
+            == int(rng_cache.length.max()))
+    assert int(rng_cache.ring_fill) == sched.ring_fill
+
+
+def test_ring_int8_kv_equals_direct():
+    """Headline serving combo: int8 KV cache + staging ring must match
+    the int8 direct-append path token-for-token."""
+    import dataclasses
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="jump", max_capacity_prompt=64,
+        window_size=8, decoding_window_size=32, decoding_recent_size=16,
+        delta=3, evict_per_qhead=False)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(6), jnp.float32)
+    rng = np.random.default_rng(6)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+    ecfg8 = dataclasses.replace(ECFG, kv_dtype="int8")
+
+    def run(ring):
+        ecfg = dataclasses.replace(ecfg8, decode_ring=ring)
+        dec = HostScheduledDecoder(TINY_LLAMA, comp, ecfg)
+        logits, cache, state = jax.jit(
+            lambda p, t, l: llama.prefill(TINY_LLAMA, comp, ecfg, p, t, l)
+        )(params, toks, tl)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        sched = dec.new_scheduler(int(tl[0]))
+        seq = [np.asarray(tok)]
+        for s in range(STEPS):
+            logits, cache, state = dec.step(sched, params, tok, tl + s,
+                                            cache, state)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            seq.append(np.asarray(tok))
+        return np.stack(seq, 1)
+
+    np.testing.assert_array_equal(run(0), run(8))
+
+
+def test_ring_flush_restores_cache_contents():
+    """After a manual flush, the ring-mode cache contents equal the
+    direct-append cache (same slots, same values)."""
+    from scope_tpu.cache import flush_ring
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="none", max_capacity_prompt=64,
+        window_size=8, decoding_window_size=32, decoding_recent_size=16,
+        delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(5), jnp.float32)
+    rng = np.random.default_rng(5)
+    toks = jnp.asarray(rng.integers(0, 512, (2, 128)), jnp.int32)
+    tl = jnp.full((2,), 100, jnp.int32)
+
+    ref_seq, ref_cache, _ = host_path(comp, params, toks, tl, 6)
+    rng_seq, rng_cache, sched = chunked_path(comp, params, toks, tl, 6,
+                                             (), ring=8)
+    np.testing.assert_array_equal(ref_seq, rng_seq)
+    flushed = flush_ring(rng_cache, uniform_rows=False)
+    n = int(ref_cache.length[0, 0])
+    # Ring vs direct programs fuse differently, so the staged k/v carry
+    # ~1e-6 f32 rounding differences; structure must match exactly.
+    np.testing.assert_allclose(np.asarray(flushed.k[:, :, :, :n]),
+                               np.asarray(ref_cache.k[:, :, :, :n]),
+                               atol=5e-6, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(flushed.length),
+                                  np.asarray(ref_cache.length))
 
 
 def test_hot_run_length_peek_restores():

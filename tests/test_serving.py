@@ -200,6 +200,37 @@ def test_serving_chunked_decode_matches(metric):
                                       np.array(res_c[rc]))
 
 
+@pytest.mark.parametrize("chunks", [(), (4, 2)])
+def test_serving_ring_matches(chunks):
+    """The staging ring in serving (decode_ring) produces exactly the
+    per-step direct-append engine's tokens, across admissions (which
+    force flushes) and fires."""
+    import dataclasses
+    comp = CompressionConfig(method="h2o", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120, 90, 64)]
+
+    eng_ref = ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
+    ids_ref = [eng_ref.submit(p, 12) for p in prompts]
+    res_ref = eng_ref.run()
+
+    ecfg_r = dataclasses.replace(ECFG, decode_ring=8,
+                                 decode_chunk_sizes=chunks)
+    eng_r = ServingEngine(TINY_LLAMA, comp, ecfg_r, params, max_slots=2)
+    assert eng_r.cache.ring_k is not None
+    ids_r = [eng_r.submit(p, 12) for p in prompts]
+    res_r = eng_r.run()
+
+    for rr, rc in zip(ids_ref, ids_r):
+        np.testing.assert_array_equal(np.array(res_ref[rr]),
+                                      np.array(res_r[rc]))
+
+
 def test_serving_headline_config_kvhead_int8():
     """The headline serving configuration (h2o+jump, per-KV-head eviction,
     int8 KV) matches dedicated single-stream generation per request."""
