@@ -107,7 +107,8 @@ def run_dataset(args, spec, params, tokenizer, dataset: str, fout):
     ecfg = EngineConfig(
         max_prompt_len=min(args.max_prompt_len, spec.max_position_embeddings),
         max_new_tokens=out_len, dtype=args.dtype,
-        kv_dtype=args.kv_dtype)
+        kv_dtype=args.kv_dtype, decode_ring=args.decode_ring,
+        decode_chunk_sizes=tuple(args.decode_chunk_sizes))
     eos_ids = tuple(args.eos_ids) if args.eos_ids else (
         (tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None
         else ())
@@ -170,6 +171,14 @@ def parse_args(argv=None):
                    help="weight-only int8 (per-output-channel; "
                         "ops/quant.quantize_layer_weights) — halves the "
                         "weight HBM stream; default keeps the load dtype")
+    p.add_argument("--decode_ring", type=int, default=0,
+                   help="staging-ring size R (0 = direct appends); hot "
+                        "decode steps stage tokens in a small ring and "
+                        "flush every R steps (big-buffer updates cost a "
+                        "full copy per step on TPU)")
+    p.add_argument("--decode_chunk_sizes", type=int, nargs="*", default=[],
+                   help="dispatch fire-free runs as one multi-step "
+                        "program (largest-first sizes, e.g. 8 4 2)")
     p.add_argument("--kv_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "int8"],
                    help="KV cache storage dtype (int8: per-channel "
