@@ -82,8 +82,22 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16
 
 
 def _lm_logits(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    if "lm_head_t" in params:
+        # Pre-materialized matmul-orientation head (quant.
+        # materialize_lm_head): avoids XLA re-materializing embed.T
+        # (525MB at 1B) every decode step.  Int8 carries a per-INPUT-
+        # channel scale folded into h (argmax-safe).
+        wt = params["lm_head_t"]
+        if wt.dtype == jnp.int8:
+            h = h * params["lm_head_t_scale"].astype(h.dtype)
+            return jnp.dot(h, wt.astype(h.dtype))
+        return jnp.dot(h, wt)
     if spec.tie_word_embeddings:
-        return jnp.dot(h, params["embed"].T)
+        # Contract on embed's hidden axis directly — `embed.T` as a jnp
+        # op makes XLA:TPU materialize the full transposed [V, E] matrix
+        # (525MB bf16 at 1B) EVERY decode step (seen in optimized HLO).
+        return lax.dot_general(h, params["embed"],
+                               (((h.ndim - 1,), (1,)), ((), ())))
     return jnp.dot(h, params["lm_head"])
 
 

@@ -76,3 +76,24 @@ def quantize_layer_weights(params, names=WEIGHT_NAMES):
         layers[n] = q.astype(jnp.int8)
         layers[n + "_scale"] = s                              # [L, F]
     return {**params, "layers": layers}
+
+
+def materialize_lm_head(params, int8: bool = True):
+    """Store the tied lm_head in matmul orientation, once.
+
+    ``dot(h, embed.T)`` makes XLA:TPU materialize the full transposed
+    [V, E] matrix EVERY decode step (~525MB write+read at 1B — seen in
+    optimized HLO); storing ``lm_head_t`` [E, V] pays that once in HBM.
+    With int8 the scale is per INPUT channel (s[e]) so it folds into h
+    before the matmul: logits = dot(h * s, W_i8) — per-OUTPUT (vocab)
+    scales would reorder logits and change the argmax.  No-op for
+    untied-head models (they already store lm_head in [E, V]).
+    """
+    if "lm_head" in params or "lm_head_t" in params:
+        return params
+    w = params["embed"].astype(jnp.float32).T                 # [E, V]
+    if not int8:
+        return {**params, "lm_head_t": w.astype(params["embed"].dtype)}
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-8) / 127.0   # [E]
+    q = jnp.clip(jnp.round(w / s[:, None]), -127, 127).astype(jnp.int8)
+    return {**params, "lm_head_t": q, "lm_head_t_scale": s}

@@ -62,6 +62,10 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
     }
     if "lm_head" in params:
         specs["lm_head"] = P(None, MODEL_AXIS)
+    if "lm_head_t" in params:
+        specs["lm_head_t"] = P(None, MODEL_AXIS)
+    if "lm_head_t_scale" in params:
+        specs["lm_head_t_scale"] = P(None)
     # Weight-only int8 (ops/quant.quantize_layer_weights): per-output-
     # channel scales shard exactly like their weight's output axis —
     # sharded for column-parallel weights, replicated where the output is

@@ -86,6 +86,45 @@ def test_generation_with_int8_weights_runs(method, metric):
     np.testing.assert_array_equal(gq[0, :4], gf[0, :4])
 
 
+def _tied_spec():
+    import dataclasses
+    return dataclasses.replace(TINY_LLAMA, tie_word_embeddings=True)
+
+
+def test_lm_head_t_bf16_exact():
+    """Pre-materialized lm_head (bf16) gives bitwise-identical logits to
+    the tied embed.T path."""
+    spec = _tied_spec()
+    params = llama.init_params(spec, jax.random.key(3), jnp.float32)
+    assert "lm_head" not in params
+    h = jnp.asarray(np.random.default_rng(4).normal(size=(3, 64)),
+                    jnp.float32)
+    ref = llama._lm_logits(spec, params, h)
+    pt = quant.materialize_lm_head(params, int8=False)
+    got = llama._lm_logits(spec, pt, h)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_lm_head_t_untied_noop():
+    params = llama.init_params(TINY_LLAMA, jax.random.key(3), jnp.float32)
+    assert quant.materialize_lm_head(params) is params
+
+
+def test_lm_head_t_int8_close_and_scale_foldable():
+    spec = _tied_spec()
+    params = llama.init_params(spec, jax.random.key(5), jnp.float32)
+    h = jnp.asarray(np.random.default_rng(6).normal(size=(3, 64)),
+                    jnp.float32)
+    ref = np.asarray(llama._lm_logits(spec, params, h))
+    pt = quant.materialize_lm_head(params, int8=True)
+    assert pt["lm_head_t"].dtype == jnp.int8
+    got = np.asarray(llama._lm_logits(spec, pt, h))
+    # Per-input-channel scales: error bounded by sum_e |h_e| * s_e / 2.
+    bound = (np.abs(np.asarray(h))
+             @ np.asarray(pt["lm_head_t_scale"])) * 0.5 + 1e-5
+    assert (np.abs(got - ref) <= bound[:, None]).all()
+
+
 def test_int8_weight_sharding_specs():
     from scope_tpu.parallel.sharding import param_pspecs
     params = llama.init_params(TINY_LLAMA, jax.random.key(1), jnp.float32)
