@@ -42,6 +42,9 @@ class _SlotState:
     max_new: int = 0
     tokens: List[int] = field(default_factory=list)
     active: bool = False
+    # Tokens dispatched to the device (incl. the prefill's first token),
+    # >= len(tokens) while fetches are in flight (pipeline_depth > 0).
+    dispatched: int = 0
 
 
 class ServingEngine:
@@ -50,7 +53,8 @@ class ServingEngine:
                  eos_ids: Tuple[int, ...] = (),
                  token_budget: Optional[int] = None,
                  prefill_chunk: Optional[int] = None,
-                 max_top_k: int = 64):
+                 max_top_k: int = 64,
+                 pipeline_depth: int = 1):
         if comp.decoding_metric not in ("none", "fixed", "linear", "jump"):
             raise ValueError(
                 "serving supports per-request metrics none/fixed/linear/"
@@ -114,6 +118,18 @@ class ServingEngine:
         self.slots = [_SlotState() for _ in range(max_slots)]
         self.cur_tok = np.zeros(max_slots, np.int64)
         self.vpos = np.zeros(max_slots, np.int64)
+        # Pipelined token fetch: device->host round trips cost ~30ms
+        # through the transport, so step() dispatches the NEXT decode
+        # program from the on-device token feed (_tok_dev) before
+        # fetching the previous dispatch's tokens — the fetch overlaps
+        # device compute instead of idling it.  EOS/budget detection
+        # lags by up to pipeline_depth dispatches: a finished row decodes
+        # a few garbage steps that are dropped here and its cache row is
+        # rewritten at the next admission, so results are token-identical
+        # to depth 0 (tests/test_serving.py).
+        self.pipeline_depth = max(0, int(pipeline_depth))
+        self._tok_dev = jnp.zeros((max_slots,), jnp.int32)
+        self._inflight: List[Tuple[jnp.ndarray, List[Tuple[int, int]]]] = []
         self._pending_prompts: Dict[int, np.ndarray] = {}
         self.results: Dict[int, List[int]] = {}
         # Per-request sampling (greedy when temperature<=0, the default —
@@ -203,6 +219,7 @@ class ServingEngine:
         )
         self.cur_tok[slot] = tok0
         self.vpos[slot] = prompt_len
+        self._tok_dev = self._tok_dev.at[slot].set(tok0)
         if self._per_row_state:
             self.state = self.state.reset_row(slot)
         if self._host_mode:
@@ -242,6 +259,7 @@ class ServingEngine:
         s = self.slots[slot]
         s.request_id, s.prompt_len, s.max_new = rid, prompt_len, max_new
         s.tokens = [tok0]
+        s.dispatched = 1
         s.active = True
         if tok0 in self.eos_ids or max_new <= 1:
             self._finish(slot)
@@ -318,7 +336,7 @@ class ServingEngine:
             return 0
         run = min(self._slot_scheds[i].hot_run_length(sizes[0])
                   for i, s in enumerate(self.slots) if s.active)
-        run = min(run, *(s.max_new - len(s.tokens)
+        run = min(run, *(s.max_new - s.dispatched
                          for s in self.slots if s.active))
         if self._ring:
             run = min(run, self._ring)   # a chunk never spans a flush
@@ -327,16 +345,46 @@ class ServingEngine:
                 return n
         return 0
 
+    def _process_one(self) -> bool:
+        """Fetch and apply the OLDEST in-flight dispatch's tokens: append,
+        EOS/budget finishes.  Rows whose request ended (or whose slot was
+        re-admitted) since that dispatch are skipped."""
+        if not self._inflight:
+            return False
+        toks_dev, snap = self._inflight.pop(0)
+        nxt = np.asarray(jax.device_get(toks_dev))           # [B, k]
+        for j in range(nxt.shape[1]):
+            for slot, rid in snap:
+                s = self.slots[slot]
+                if not s.active or s.request_id != rid:
+                    continue
+                tok_j = int(nxt[slot, j])
+                s.tokens.append(tok_j)
+                self.cur_tok[slot] = tok_j
+                hit_cap = self.sched.step(slot)
+                if (tok_j in self.eos_ids or hit_cap
+                        or len(s.tokens) >= s.max_new):
+                    self._finish(slot)
+        return True
+
     def step(self):
         """Admit what fits, advance at most one admission-prefill chunk,
-        then run one batched decode step (or one multi-step hot chunk —
-        ecfg.decode_chunk_sizes — when every active slot is fire-free)."""
+        then dispatch one batched decode step (or one multi-step hot
+        chunk — ecfg.decode_chunk_sizes — when every active slot is
+        fire-free).  Token fetches trail by up to ``pipeline_depth``
+        dispatches so the round trip overlaps the next dispatch's
+        compute."""
         self._admit()
         prefilled = self._advance_prefill() if self._chunker else False
         if not any(s.active for s in self.slots):
-            return prefilled
-        tok = jnp.asarray(self.cur_tok, jnp.int32)
+            drained = False
+            while self._inflight:
+                drained = self._process_one() or drained
+            return prefilled or drained
+        tok = self._tok_dev
         vpos = jnp.asarray(self.vpos, jnp.int32)
+        snap = [(i, s.request_id) for i, s in enumerate(self.slots)
+                if s.active]
         n = self._plan_chunk()
         if n:
             if self._ring and self._ring_fill + n > self._ring:
@@ -351,6 +399,7 @@ class ServingEngine:
                     self._slot_scheds[i].advance_hot(n)
             if self._ring:
                 self._ring_fill += n
+            k = n
         else:
             if self._host_mode:
                 logits, self.cache, self.state = self._host_decode(tok,
@@ -364,20 +413,16 @@ class ServingEngine:
                     jnp.asarray(self._samp_t), jnp.asarray(self._samp_k),
                     jnp.asarray(self._samp_p))[:, None]
             else:
-                toks_dev = jnp.argmax(logits, -1)[:, None]
-        nxt = np.asarray(jax.device_get(toks_dev))           # [B, k]
-        for j in range(nxt.shape[1]):
-            for slot, s in enumerate(self.slots):
-                if not s.active:
-                    continue
-                tok_j = int(nxt[slot, j])
-                s.tokens.append(tok_j)
-                self.cur_tok[slot] = tok_j
-                self.vpos[slot] += 1
-                hit_cap = self.sched.step(slot)
-                if (tok_j in self.eos_ids or hit_cap
-                        or len(s.tokens) >= s.max_new):
-                    self._finish(slot)
+                toks_dev = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+            k = 1
+        self._tok_dev = toks_dev[:, -1]
+        for i, s in enumerate(self.slots):
+            if s.active:
+                s.dispatched += k
+                self.vpos[i] += k
+        self._inflight.append((toks_dev, snap))
+        while len(self._inflight) > self.pipeline_depth:
+            self._process_one()
         return True
 
     def run(self, max_steps: int = 1_000_000) -> Dict[int, List[int]]:
@@ -388,4 +433,6 @@ class ServingEngine:
             if not progressed and self.sched.queued == 0:
                 break
             steps += 1
+        while self._inflight:
+            self._process_one()
         return self.results

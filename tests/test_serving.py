@@ -260,3 +260,42 @@ def test_serving_headline_config_kvhead_int8():
                                jnp.array([len(p)], jnp.int32), 20, -1)
         np.testing.assert_array_equal(np.asarray(gen[0]),
                                       np.array(results[rid]))
+
+
+@pytest.mark.parametrize("depth", [0, 3])
+def test_serving_pipeline_depths_match(depth):
+    """Pipelined token fetches (pipeline_depth>0: EOS/budget detection
+    trails the dispatch stream) produce exactly the unpipelined engine's
+    tokens — including early EOS finishes, slot reuse into a freed row,
+    chunked+ring dispatch, and a sampled (per-step) request."""
+    import dataclasses
+    comp = CompressionConfig(method="h2o", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120, 90, 64)]
+
+    def run(pdepth, eos):
+        ecfg = dataclasses.replace(ECFG, decode_chunk_sizes=(4, 2),
+                                   decode_ring=8)
+        eng = ServingEngine(TINY_LLAMA, comp, ecfg, params, max_slots=2,
+                            eos_ids=eos, pipeline_depth=pdepth)
+        ids = []
+        for i, p in enumerate(prompts):
+            kw = dict(temperature=0.8, top_k=8, seed=42) if i == 2 else {}
+            ids.append(eng.submit(p, 12, **kw))
+        return ids, eng.run()
+
+    ids0, res0 = run(0, ())
+    # An EOS drawn from the middle of a request's output forces an early
+    # finish (and a lagged one when pipelined).
+    eos = (int(res0[ids0[0]][5]),)
+    ids_ref, res_ref = run(0, eos)
+    assert any(len(res_ref[r]) < 12 for r in ids_ref)
+    ids_p, res_p = run(depth, eos)
+    for rr, rp in zip(ids_ref, ids_p):
+        np.testing.assert_array_equal(np.array(res_ref[rr]),
+                                      np.array(res_p[rp]))
