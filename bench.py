@@ -66,6 +66,7 @@ def build_state(spec, comp, ecfg, params, prompt_len, batch=1,
                 pvalid=t(c.pvalid), prompt_len=t(c.prompt_len, 0),
                 page_min=t(c.page_min), page_max=t(c.page_max),
                 k_scale=t(c.k_scale), v_scale=t(c.v_scale),
+                k_off=t(c.k_off), v_off=t(c.v_off),
                 ring_k=t(c.ring_k), ring_v=t(c.ring_v))
 
         cache = tile_cache(cache)
@@ -110,9 +111,29 @@ def measure_decode(spec, comp, ecfg, params, prompt_len, steps=64,
             logits, c, st = _dstep(p, t, v, c, st)
             return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], c, st
 
-    if sched is not None and ecfg.decode_chunk_sizes:
-        # Cover two full fire periods so every chunk-size program (and
-        # the force step) compiles during warmup, not mid-timing.
+    if sched is not None and comp.decoding_metric != "none":
+        # Warm PAST THE FIRST FIRE: the first compression wave lands
+        # hundreds of steps into decode (the gate needs dk_len >= W(t),
+        # e.g. step ~265 for W=512 r=256 delta=30) — earlier warmups left
+        # the force/flush programs compiling mid-timing AND made the
+        # timed window fire-free, overstating steady-state throughput.
+        # The fire step is deterministic: simulate a throwaway scheduler.
+        sim = dec.new_scheduler(prompt_len)
+        if fake_len is not None:
+            sim.length = fake_len
+        ff = 0
+        while ff < 100_000:
+            p = sim.plan_step()
+            fired = p.fire_any if hasattr(p, "fire_any") else p.fire
+            ff += 1
+            if fired:
+                break
+        chunk = max(ecfg.decode_chunk_sizes) if ecfg.decode_chunk_sizes \
+            else 1
+        warmup = max(warmup, ff + comp.delta + 2 * chunk + 2)
+        # Amortize fire waves honestly: cover >= 2 full periods.
+        steps = max(steps, 2 * comp.delta + 2 * chunk)
+    elif sched is not None and ecfg.decode_chunk_sizes:
         warmup = max(warmup,
                      2 * comp.delta + 2 * max(ecfg.decode_chunk_sizes) + 2)
     s = 0

@@ -180,9 +180,10 @@ def parse_args(argv=None):
                    help="dispatch fire-free runs as one multi-step "
                         "program (largest-first sizes, e.g. 8 4 2)")
     p.add_argument("--kv_dtype", type=str, default="bfloat16",
-                   choices=["bfloat16", "int8"],
+                   choices=["bfloat16", "int8", "int4"],
                    help="KV cache storage dtype (int8: per-channel "
-                        "prefill-calibrated scales)")
+                        "prefill-calibrated scales; int4: packed "
+                        "asymmetric per-channel codes, quarter bytes)")
     p.add_argument("--evict_per_kv_head", action="store_true")
     p.add_argument("--eos_ids", type=int, nargs="*", default=None)
     p.add_argument("--resume", action="store_true",

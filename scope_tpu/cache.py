@@ -42,11 +42,18 @@ class KVCache:
     # step; the math is identical - see compression/quest.py).
     page_min: Optional[jnp.ndarray] = None     # [L, B, H, NP, D]
     page_max: Optional[jnp.ndarray] = None     # [L, B, H, NP, D]
-    # Per-channel int8 quantization scales (kv_dtype="int8"): k/v are
-    # int8 and true_k = k * k_scale[l, b, h, None, :].  Calibrated once
+    # Per-channel quantization parameters.  kv_dtype="int8": k/v are int8,
+    # true_k = k * k_scale[l, b, h, None, :]; offsets stay None.
+    # kv_dtype="int4": k/v are uint8 with TWO 4-bit codes per byte along
+    # the channel axis (storage [..., S_max, D//2]) and
+    # true_k = code * k_scale + k_off (ops/quant.py int4 section — the
+    # offsets fold for free: K's cancels in softmax, V's folds into the
+    # attention output because probabilities sum to 1).  Calibrated once
     # at prefill; slot-axis-free, so eviction gathers never touch them.
     k_scale: Optional[jnp.ndarray] = None      # [L, B, H, D] f32
     v_scale: Optional[jnp.ndarray] = None      # [L, B, H, D] f32
+    k_off: Optional[jnp.ndarray] = None        # [L, B, H, D] f32 (int4)
+    v_off: Optional[jnp.ndarray] = None        # [L, B, H, D] f32 (int4)
     # Staging ring (EngineConfig.decode_ring > 0): hot decode steps write
     # the per-step token k/v HERE instead of the big k/v buffers — an
     # update on a big buffer costs a near-full-buffer copy on TPU however
@@ -75,11 +82,18 @@ def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
                head_dim: int, dtype, prefill_gap: int = 0,
                with_pages: bool = False, num_pages: int = 0,
                kv_dtype: str = "", ring: int = 0) -> KVCache:
-    store = jnp.int8 if kv_dtype == "int8" else dtype
-    shape = (num_layers, batch, num_heads, capacity, head_dim)
-    sshape = (num_layers, batch, num_heads, head_dim)
-    rshape = (num_layers, batch, num_heads, ring, head_dim)
     int8 = kv_dtype == "int8"
+    int4 = kv_dtype == "int4"
+    store = jnp.int8 if int8 else (jnp.uint8 if int4 else dtype)
+    dstore = head_dim // 2 if int4 else head_dim   # two codes per byte
+    shape = (num_layers, batch, num_heads, capacity, dstore)
+    sshape = (num_layers, batch, num_heads, head_dim)
+    rshape = (num_layers, batch, num_heads, ring, dstore)
+    # Quest page metadata holds per-channel extremes: stored values for
+    # bf16/int8, unpacked CODES (uint8, full head_dim) for int4 — code
+    # order equals value order per channel since scales are positive.
+    pdtype = store if not int4 else jnp.uint8
+    pdim = head_dim
     return KVCache(
         k=jnp.zeros(shape, store),
         v=jnp.zeros(shape, store),
@@ -88,11 +102,13 @@ def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
         prefill_gap=prefill_gap,
         prompt_len=jnp.zeros((batch,), jnp.int32),
         page_min=(jnp.zeros((num_layers, batch, num_heads, num_pages,
-                             head_dim), dtype) if with_pages else None),
+                             pdim), pdtype) if with_pages else None),
         page_max=(jnp.zeros((num_layers, batch, num_heads, num_pages,
-                             head_dim), dtype) if with_pages else None),
-        k_scale=jnp.ones(sshape, jnp.float32) if int8 else None,
-        v_scale=jnp.ones(sshape, jnp.float32) if int8 else None,
+                             pdim), pdtype) if with_pages else None),
+        k_scale=jnp.ones(sshape, jnp.float32) if int8 or int4 else None,
+        v_scale=jnp.ones(sshape, jnp.float32) if int8 or int4 else None,
+        k_off=jnp.zeros(sshape, jnp.float32) if int4 else None,
+        v_off=jnp.zeros(sshape, jnp.float32) if int4 else None,
         ring_k=jnp.zeros(rshape, store) if ring else None,
         ring_v=jnp.zeros(rshape, store) if ring else None,
         ring_fill=jnp.zeros((), jnp.int32) if ring else None,

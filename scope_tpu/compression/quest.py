@@ -45,9 +45,18 @@ def build_page_metadata(comp: CompressionConfig, cache: KVCache,
 
     cache.k: [L, B, H, cap, D]; pages cover slots [0, NP*chunk)."""
     chunk = comp.chunk_size
-    L, B, H, cap, D = cache.k.shape
+    L, B, H, cap, _ = cache.k.shape
     NP = cap // chunk
-    k = cache.k[:, :, :, :NP * chunk, :].reshape(L, B, H, NP, chunk, D)
+    k = cache.k[:, :, :, :NP * chunk, :]
+    if k.dtype == jnp.uint8:
+        # Packed int4: unpack to CODES for the metadata — per-channel
+        # scales are positive, so code order == value order and the
+        # selected pages are identical (the offset shifts every page
+        # score by the same constant).
+        from scope_tpu.ops.quant import unpack4
+        k = unpack4(k, jnp.uint8)
+    D = k.shape[-1]
+    k = k.reshape(L, B, H, NP, chunk, D)
     slot = (jnp.arange(NP * chunk).reshape(NP, chunk))
     real = slot[None, :, :] < true_len[:, None, None]          # [B,NP,chunk]
     real = real[None, :, None, :, :, None]                     # broadcast
@@ -201,20 +210,21 @@ def quest_decode_layer(
                        0, cap - 1)
     all_valid = jnp.concatenate([tok_valid, dec_valid], axis=-1)
 
-    # Int8 cache: compute in q's dtype (K scale is folded into q, V scale
-    # into the output by the caller — see models/llama.py decode_step).
-    cd = q.dtype if ck.dtype == jnp.int8 else cv.dtype
+    # Quantized caches: compute in q's dtype (K scale is folded into q,
+    # V scale/offset into the output by the caller — models/llama.py).
+    from scope_tpu.ops.quant import to_compute as _tc
+    cd = q.dtype if jnp.issubdtype(ck.dtype, jnp.integer) else cv.dtype
 
     def attend(idx, valid):
         k_sel = jnp.take_along_axis(ck, idx[..., None], axis=2)
         v_sel = jnp.take_along_axis(cv, idx[..., None], axis=2)
         acc = jnp.float32 if softmax_f32 else q.dtype
-        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, k_sel.astype(cd),
+        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(k_sel, cd),
                             preferred_element_type=acc) * scale
         logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
-                         v_sel.astype(cd))
+                         _tc(v_sel, cd))
         return out.reshape(B, Hq, 1, D), probs.sum(axis=2)      # [B,Hc,S']
 
     def quest_branch(_):
@@ -227,12 +237,12 @@ def quest_decode_layer(
         valid = jnp.broadcast_to(slot[None, None, :] < length[:, None, None],
                                  (B, Hc, cap))
         acc = jnp.float32 if softmax_f32 else q.dtype
-        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, ck.astype(cd),
+        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(ck, cd),
                             preferred_element_type=acc) * scale
         logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
-                         cv.astype(cd))
+                         _tc(cv, cd))
         dec_probs = jnp.take_along_axis(probs.sum(axis=2),
                                         jnp.clip(dec_idx, 0, cap - 1),
                                         axis=-1)

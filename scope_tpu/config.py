@@ -146,11 +146,15 @@ class EngineConfig:
     max_new_tokens: int = 4096
     prompt_pad_multiple: int = 128
     dtype: str = "bfloat16"
-    # KV cache storage dtype: "bfloat16" (matches compute dtype) or
+    # KV cache storage dtype: "bfloat16" (matches compute dtype),
     # "int8" (per-channel symmetric quantization calibrated once at
     # prefill: scales fold into q / the attention output, so the hot
     # decode path reads half the HBM bytes with two extra elementwise
-    # ops per layer; compression gathers move int8 values unchanged).
+    # ops per layer; compression gathers move int8 values unchanged),
+    # or "int4" (two asymmetric per-channel codes per byte — quarter the
+    # cache bytes; the K zero point cancels in softmax and the V zero
+    # point folds into the output because probabilities sum to 1, so the
+    # hot path cost is the same two folds as int8 — see ops/quant.py).
     kv_dtype: str = "bfloat16"
     # Upcast attention logits/softmax to f32 (reference: kv_utils.py:656).
     softmax_f32: bool = True

@@ -216,6 +216,10 @@ class ServingEngine:
                      if c.k_scale is not None else None),
             v_scale=(put(c.v_scale, r.v_scale)
                      if c.v_scale is not None else None),
+            k_off=(put(c.k_off, r.k_off)
+                   if c.k_off is not None else None),
+            v_off=(put(c.v_off, r.v_off)
+                   if c.v_off is not None else None),
         )
         self.cur_tok[slot] = tok0
         self.vpos[slot] = prompt_len

@@ -142,7 +142,7 @@ def _finalize(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     G = spec.num_kv_groups
     need_all = comp.method in ("h2o", "pyramidkv")
     need_win = comp.method == "snapkv"
-    int8_kv = ecfg.kv_dtype == "int8"
+    gap = comp.headwise_max_budget if comp.method == "headwise" else 0
 
     def body(_, xs):
         if need_q:
@@ -163,28 +163,36 @@ def _finalize(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
             sc = PrefillScores(None, None)
         res = compress_prefill(comp, layer_idx, L, kb_l, vb_l, qb_l, sc,
                                true_len, st.capacity)
-        ck, cv = res.cache_k, res.cache_v
-        if int8_kv:
-            from scope_tpu.ops import quant
-            ks = quant.calibrate(ck)
-            vs = quant.calibrate(cv)
-            return None, (quant.quantize(ck, ks), quant.quantize(cv, vs),
-                          res.length, res.pvalid, ks, vs)
-        return None, (ck, cv, res.length, res.pvalid, jnp.zeros(()),
-                      jnp.zeros(()))
+        from scope_tpu.ops import quant
+        ck, cv, ks, vs, ko, vo = quant.quantize_prefill_layer(
+            ecfg.kv_dtype, res.cache_k, res.cache_v, res.length,
+            res.pvalid, gap)
+        return None, (ck, cv, res.length, res.pvalid, ks, vs, ko, vo)
 
     xs = ((jnp.arange(L), kbuf, vbuf, qbuf) if need_q
           else (jnp.arange(L), kbuf, vbuf))
-    _, (cks, cvs, lens, pvalids, ks_scale, vs_scale) = lax.scan(
-        body, None, xs)
+    _, (cks, cvs, lens, pvalids, ks_scale, vs_scale, k_off, v_off) = \
+        lax.scan(body, None, xs)
 
-    gap = comp.headwise_max_budget if comp.method == "headwise" else 0
-    if not int8_kv:
+    if ecfg.kv_dtype not in ("int8", "int4"):
         ks_scale = vs_scale = None
+    if ecfg.kv_dtype != "int4":
+        k_off = v_off = None
     cache = KVCache(k=cks, v=cvs, length=lens, pvalid=pvalids,
                     prefill_gap=gap, prompt_len=true_len,
                     page_min=None, page_max=None,
-                    k_scale=ks_scale, v_scale=vs_scale)
+                    k_scale=ks_scale, v_scale=vs_scale,
+                    k_off=k_off, v_off=v_off)
+    if ecfg.decode_ring:
+        # Mirror llama.prefill: attach staging-ring buffers so the
+        # host-scheduled decode path works off a chunked prefill too
+        # (serving ignores these — its ring is engine-global).
+        rshape = (L, cks.shape[1], cks.shape[2], ecfg.decode_ring,
+                  cks.shape[-1])
+        cache = cache.replace(
+            ring_k=jnp.zeros(rshape, cks.dtype),
+            ring_v=jnp.zeros(rshape, cvs.dtype),
+            ring_fill=jnp.zeros((), jnp.int32))
     if comp.method == "quest":
         from scope_tpu.compression.quest import build_page_metadata
         cache = build_page_metadata(comp, cache, true_len)

@@ -36,6 +36,7 @@ from scope_tpu.config import CompressionConfig, EngineConfig, ModelSpec
 from scope_tpu.ops.attention import (decode_attention, prefill_attention)
 from scope_tpu.ops.common import (apply_rope, mlp, repeat_kv, rms_norm,
                                   rope_cos_sin, rope_inv_freq, wdot)
+from scope_tpu.ops.quant import to_compute as _tc
 
 Params = Dict[str, Any]
 
@@ -209,36 +210,35 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                                true_len, st.capacity)
         return x, res
 
-    int8_kv = ecfg.kv_dtype == "int8"
+    gap = comp.headwise_max_budget if comp.method == "headwise" else 0
 
     def body(carry, xs):
         x = carry
         p, layer_idx = xs
         x, res = layer(x, p, layer_idx)
-        ck, cv = res.cache_k, res.cache_v
-        if int8_kv:
-            # Quantize inside the scan so the full-precision cache of
-            # ALL layers is never live at once (memory 2x at prefill).
-            from scope_tpu.ops import quant
-            ks = quant.calibrate(ck)             # [B, Hc, D]
-            vs = quant.calibrate(cv)
-            return x, (quant.quantize(ck, ks), quant.quantize(cv, vs),
-                       res.length, res.pvalid, ks, vs)
-        return x, (ck, cv, res.length, res.pvalid, jnp.zeros(()),
-                   jnp.zeros(()))
+        # Quantize (int8/int4) inside the scan so the full-precision
+        # cache of ALL layers is never live at once (memory 2x at
+        # prefill); no-op passthrough for bf16.
+        from scope_tpu.ops import quant
+        ck, cv, ks, vs, ko, vo = quant.quantize_prefill_layer(
+            ecfg.kv_dtype, res.cache_k, res.cache_v, res.length,
+            res.pvalid, gap)
+        return x, (ck, cv, res.length, res.pvalid, ks, vs, ko, vo)
 
-    x, (cks, cvs, lens, pvalids, ks_scale, vs_scale) = lax.scan(
-        body, x, (lp, jnp.arange(L)))
+    x, (cks, cvs, lens, pvalids, ks_scale, vs_scale, k_off, v_off) = \
+        lax.scan(body, x, (lp, jnp.arange(L)))
 
-    gap = comp.headwise_max_budget if comp.method == "headwise" else 0
-    if not int8_kv:
+    if ecfg.kv_dtype not in ("int8", "int4"):
         ks_scale = vs_scale = None
+    if ecfg.kv_dtype != "int4":
+        k_off = v_off = None
     cache = KVCache(k=cks, v=cvs, length=lens, pvalid=pvalids,
                     prefill_gap=gap, prompt_len=true_len,
                     page_min=None, page_max=None,
-                    k_scale=ks_scale, v_scale=vs_scale)
+                    k_scale=ks_scale, v_scale=vs_scale,
+                    k_off=k_off, v_off=v_off)
     if ecfg.decode_ring:
-        rshape = (L, B, st.cache_heads, ecfg.decode_ring, D)
+        rshape = (L, B, st.cache_heads, ecfg.decode_ring, cks.shape[-1])
         cache = cache.replace(
             ring_k=jnp.zeros(rshape, cks.dtype),
             ring_v=jnp.zeros(rshape, cvs.dtype),
@@ -327,6 +327,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         compress_mode == "off" and not quest
         and cache.prefill_gap == 0 and layer_uniform_lengths)
     int8_kv = ecfg.kv_dtype == "int8"
+    int4_kv = ecfg.kv_dtype == "int4"
     staged = []
 
     for l in range(L):
@@ -341,14 +342,21 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         if comp.evict_per_qhead:
             k = repeat_kv(k, G)
             v = repeat_kv(v, G)
-        if int8_kv:
+        if int8_kv or int4_kv:
             # Store the token quantized; fold the per-channel K scale
             # into q (q.k = sum_d (q_d * s_d) * kint_d) so attention
-            # reads int8 bytes with no per-slot dequant.
+            # reads int8 (or packed-int4) bytes with no per-slot dequant.
+            # int4's K offset adds a slot-independent constant to every
+            # logit, which softmax cancels — no further K-side work.
             from scope_tpu.ops import quant
             ks_l, vs_l = cache.k_scale[l], cache.v_scale[l]  # [B,Hc,D]
-            k = quant.quantize(k, ks_l)
-            v = quant.quantize(v, vs_l)
+            if int4_kv:
+                ko_l, vo_l = cache.k_off[l], cache.v_off[l]
+                k = quant.quantize4(k, ks_l, ko_l)
+                v = quant.quantize4(v, vs_l, vo_l)
+            else:
+                k = quant.quantize(k, ks_l)
+                v = quant.quantize(v, vs_l)
             q = (q.reshape(B, Hc, Hq // Hc, D)
                  * ks_l[:, :, None, :].astype(q.dtype)
                  ).reshape(B, Hq, 1, D)
@@ -381,7 +389,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         backend = ecfg.resolve_attn_backend()
         use_fused = (ecfg.fused_decode_attention
                      and backend in ("pallas", "pallas_interpret")
-                     and not quest and not use_ring)
+                     and not quest and not use_ring and not int4_kv)
         # Eviction scores are only consumed on steps that may compress;
         # hot host-scheduled steps skip materialising them entirely.
         need_probs = (comp.decoding_metric != "none"
@@ -403,12 +411,16 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 dec_cap=ecfg.max_new_tokens + 1,
                 softmax_f32=ecfg.softmax_f32,
                 groups=1 if comp.evict_per_qhead else G)
-            if int8_kv:
-                # Quest computed attention on int8 values with the K scale
-                # already folded into q; fold the V scale into the output.
-                out = (out.reshape(B, Hc, Hq // Hc, D)
-                       * vs_l[:, :, None, :].astype(out.dtype)
-                       ).reshape(B, Hq, 1, D)
+            if int8_kv or int4_kv:
+                # Quest computed attention on quantized values with the K
+                # scale already folded into q; fold the V scale (and
+                # int4's V offset — probabilities sum to 1) into the
+                # output.
+                og = (out.reshape(B, Hc, Hq // Hc, D)
+                      * vs_l[:, :, None, :].astype(out.dtype))
+                if int4_kv:
+                    og = og + vo_l[:, :, None, :].astype(out.dtype)
+                out = og.reshape(B, Hq, 1, D)
         else:
             if use_fused:
                 from scope_tpu.ops.pallas.decode_attn import \
@@ -441,11 +453,14 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 out, probs = _grouped_decode_attention(
                     q, ck_v, cv_v, mask, G,
                     softmax_f32=ecfg.softmax_f32)
-            if int8_kv:
-                # Per-channel V scale folds into the attention output.
-                out = (out.reshape(B, Hc, Hq // Hc, D)
-                       * vs_l[:, :, None, :].astype(out.dtype)
-                       ).reshape(B, Hq, 1, D)
+            if int8_kv or int4_kv:
+                # Per-channel V scale folds into the attention output;
+                # int4's V offset folds as one add (probs sum to 1).
+                og = (out.reshape(B, Hc, Hq // Hc, D)
+                      * vs_l[:, :, None, :].astype(out.dtype))
+                if int4_kv:
+                    og = og + vo_l[:, :, None, :].astype(out.dtype)
+                out = og.reshape(B, Hq, 1, D)
             if comp.decoding_metric != "none" and compress_mode == "force":
                 from scope_tpu.compression.schedulers import (block_map,
                                                               block_width)
@@ -619,25 +634,26 @@ def _ring_decode_attention(q, cache_k, cache_v, mask, ring_k, ring_v,
     scale = 1.0 / math.sqrt(D)
     acc = jnp.float32 if softmax_f32 else q.dtype
     qg = q.reshape(B, Hc, Hq // Hc, D)
-    cd = q.dtype if cache_k.dtype == jnp.int8 else cache_k.dtype
-    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k.astype(cd),
+    cd = (q.dtype if jnp.issubdtype(cache_k.dtype, jnp.integer)
+          else cache_k.dtype)
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(cache_k, cd),
                         preferred_element_type=acc) * scale
     logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
-    l_ring = jnp.einsum("bhgd,bhsd->bhgs", qg, ring_k.astype(cd),
+    l_ring = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(ring_k, cd),
                         preferred_element_type=acc) * scale
     rmask = jnp.arange(R) < fill                              # [R]
     l_ring = jnp.where(rmask[None, None, None, :], l_ring, NEG_INF)
-    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, k_new.astype(cd),
+    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(k_new, cd),
                        preferred_element_type=acc) * scale
     probs = jax.nn.softmax(
         jnp.concatenate([logits, l_ring, l_new], axis=-1
                         ).astype(jnp.float32), axis=-1)
     S = cache_k.shape[2]
     out = (jnp.einsum("bhgs,bhsd->bhgd",
-                      probs[..., :S].astype(cd), cache_v.astype(cd))
+                      probs[..., :S].astype(cd), _tc(cache_v, cd))
            + jnp.einsum("bhgs,bhsd->bhgd",
-                        probs[..., S:S + R].astype(cd), ring_v.astype(cd))
-           + probs[..., -1:].astype(cd) * v_new.astype(cd))
+                        probs[..., S:S + R].astype(cd), _tc(ring_v, cd))
+           + probs[..., -1:].astype(cd) * _tc(v_new, cd))
     return out.reshape(B, Hq, 1, D)
 
 
@@ -654,18 +670,19 @@ def _deferred_decode_attention(q, cache_k, cache_v, mask, k_new, v_new, *,
     scale = 1.0 / math.sqrt(D)
     acc = jnp.float32 if softmax_f32 else q.dtype
     qg = q.reshape(B, Hc, Hq // Hc, D)
-    cd = q.dtype if cache_k.dtype == jnp.int8 else cache_k.dtype
-    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k.astype(cd),
+    cd = (q.dtype if jnp.issubdtype(cache_k.dtype, jnp.integer)
+          else cache_k.dtype)
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(cache_k, cd),
                         preferred_element_type=acc) * scale
     logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
-    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, k_new.astype(cd),
+    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(k_new, cd),
                        preferred_element_type=acc) * scale
     probs = jax.nn.softmax(
         jnp.concatenate([logits, l_new], axis=-1).astype(jnp.float32),
         axis=-1)
     out = (jnp.einsum("bhgs,bhsd->bhgd",
-                      probs[..., :-1].astype(cd), cache_v.astype(cd))
-           + probs[..., -1:].astype(cd) * v_new.astype(cd))
+                      probs[..., :-1].astype(cd), _tc(cache_v, cd))
+           + probs[..., -1:].astype(cd) * _tc(v_new, cd))
     return out.reshape(B, Hq, 1, D)
 
 
@@ -683,12 +700,13 @@ def _grouped_decode_attention(q, cache_k, cache_v, mask, groups, *,
     scale = 1.0 / math.sqrt(D)
     acc = jnp.float32 if softmax_f32 else q.dtype
     qg = q.reshape(B, Hkv, Hq // Hkv, D)
-    cd = q.dtype if cache_k.dtype == jnp.int8 else cache_k.dtype
-    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, cache_k.astype(cd),
+    cd = (q.dtype if jnp.issubdtype(cache_k.dtype, jnp.integer)
+          else cache_k.dtype)
+    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(cache_k, cd),
                         preferred_element_type=acc) * scale
     logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
-                     cache_v.astype(cd))
+                     _tc(cache_v, cd))
     out = out.reshape(B, Hq, 1, D)
     return out, probs.sum(axis=2)

@@ -50,6 +50,115 @@ def dequantize(x_int: jnp.ndarray, scale: jnp.ndarray, axis: int = -2,
 
 
 # ---------------------------------------------------------------------------
+# Packed int4 KV (asymmetric per-channel, two codes per byte)
+# ---------------------------------------------------------------------------
+#
+# true_v = code * scale[..., None, :] + off[..., None, :], codes in [0, 15]
+# packed two-per-byte along the channel axis (storage [..., S, D//2] uint8
+# — uint8 is the int4 marker dtype throughout the cache machinery).  The
+# asymmetric zero point costs NOTHING on the hot path:
+#
+# - K: logits_s = q.k_s = sum_d q_d*s_d*code_{s,d} + sum_d q_d*s_d*off_d.
+#   The second term is constant across slots s, and softmax is shift-
+#   invariant, so folding q_eff = q*scale (exactly the int8 fold) yields
+#   identical probabilities.
+# - V: out_d = sum_s p_s*(code*s_d + off_d) = s_d*dot(p, code) + off_d
+#   because the probabilities sum to 1 — the offset folds into the
+#   attention output as one elementwise add.
+#
+# Eviction gathers index the slot axis only, so they move packed bytes
+# unchanged; scales/offsets stay slot-free.
+
+MARGIN4 = 1.25
+
+
+def pack4(codes: jnp.ndarray) -> jnp.ndarray:
+    """codes [..., D] integer-valued in [0, 15] -> [..., D//2] uint8
+    (channel 2i in the low nibble, 2i+1 in the high nibble)."""
+    c = codes.astype(jnp.uint8)
+    return c[..., 0::2] | (c[..., 1::2] << 4)
+
+
+def unpack4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[..., D2] uint8 -> [..., 2*D2] codes in [0, 15] as ``dtype``."""
+    lo = (packed & 0xF).astype(dtype)
+    hi = (packed >> 4).astype(dtype)
+    return jnp.stack([lo, hi], axis=-1).reshape(
+        *packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def calibrate4(x: jnp.ndarray, valid=None, axis: int = -2):
+    """Asymmetric per-channel range over the slot axis with MARGIN4
+    headroom for decode tokens.  x: [..., S, D]; valid: bool [..., S]
+    (junk slots excluded — min/max calibration is junk-sensitive,
+    unlike the int8 amax).  Returns (scale, off), each [..., D] f32."""
+    xf = x.astype(jnp.float32)
+    if valid is not None:
+        vm = jnp.expand_dims(valid, -1)
+        big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+        mn = jnp.min(jnp.where(vm, xf, big), axis=axis)
+        mx = jnp.max(jnp.where(vm, xf, -big), axis=axis)
+        ok = mx >= mn                       # any valid slot at all
+        mn = jnp.where(ok, mn, 0.0)
+        mx = jnp.where(ok, mx, 0.0)
+    else:
+        mn = jnp.min(xf, axis=axis)
+        mx = jnp.max(xf, axis=axis)
+    c = (mn + mx) * 0.5
+    h = jnp.maximum((mx - mn) * 0.5 * MARGIN4, 1e-6)
+    return (2.0 * h) / 15.0, c - h
+
+
+def quantize4(x: jnp.ndarray, scale: jnp.ndarray, off: jnp.ndarray,
+              axis: int = -2) -> jnp.ndarray:
+    """x [..., S, D] -> packed uint8 [..., S, D//2]; out-of-range decode
+    values saturate at code 0/15."""
+    s = jnp.expand_dims(scale, axis)
+    o = jnp.expand_dims(off, axis)
+    codes = jnp.clip(jnp.round((x.astype(jnp.float32) - o) / s), 0, 15)
+    return pack4(codes)
+
+
+def dequantize4(packed: jnp.ndarray, scale: jnp.ndarray, off: jnp.ndarray,
+                axis: int = -2, dtype=jnp.bfloat16) -> jnp.ndarray:
+    codes = unpack4(packed, jnp.float32)
+    s = jnp.expand_dims(scale, axis)
+    o = jnp.expand_dims(off, axis)
+    return (codes * s + o).astype(dtype)
+
+
+def to_compute(x: jnp.ndarray, cd) -> jnp.ndarray:
+    """Cache values -> attention compute dtype.  bf16/f32 pass through,
+    int8 converts (fuses into the matmul operand load), packed-int4
+    uint8 unpacks to codes (scales/offsets are folded by the caller)."""
+    if x.dtype == jnp.uint8:
+        return unpack4(x, cd)
+    return x.astype(cd)
+
+
+def quantize_prefill_layer(kv_dtype: str, ck, cv, length, pvalid, gap: int):
+    """In-scan per-layer prefill-cache quantization.
+
+    Returns (ck', cv', k_scale, v_scale, k_off, v_off) with scalar-zero
+    placeholders for unused leaves (lax.scan needs one pytree shape
+    across dtypes).  int4 calibration masks to valid slots: compression
+    gathers leave junk in dead slots and a min/max range is junk-
+    sensitive."""
+    z = jnp.zeros(())
+    if kv_dtype == "int8":
+        ks, vs = calibrate(ck), calibrate(cv)
+        return quantize(ck, ks), quantize(cv, vs), ks, vs, z, z
+    if kv_dtype == "int4":
+        from scope_tpu.cache import slot_mask
+        mask = slot_mask(length, pvalid, gap, ck.shape[2])   # [B, H, S]
+        ks, ko = calibrate4(ck, valid=mask)
+        vs, vo = calibrate4(cv, valid=mask)
+        return (quantize4(ck, ks, ko), quantize4(cv, vs, vo),
+                ks, vs, ko, vo)
+    return ck, cv, z, z, z, z
+
+
+# ---------------------------------------------------------------------------
 # Weight-only int8 (per output channel)
 # ---------------------------------------------------------------------------
 

@@ -101,6 +101,10 @@ def cache_pspecs(cache) -> Any:
                  if cache.k_scale is not None else None),
         v_scale=(P(None, DATA_AXIS, MODEL_AXIS, None)
                  if cache.v_scale is not None else None),
+        k_off=(P(None, DATA_AXIS, MODEL_AXIS, None)
+               if cache.k_off is not None else None),
+        v_off=(P(None, DATA_AXIS, MODEL_AXIS, None)
+               if cache.v_off is not None else None),
         ring_k=(P(None, DATA_AXIS, MODEL_AXIS, None, None)
                 if cache.ring_k is not None else None),
         ring_v=(P(None, DATA_AXIS, MODEL_AXIS, None, None)
@@ -139,6 +143,8 @@ def shard_cache(cache, mesh: Mesh):
         page_max=put(cache.page_max, ps.page_max),
         k_scale=put(cache.k_scale, ps.k_scale),
         v_scale=put(cache.v_scale, ps.v_scale),
+        k_off=put(cache.k_off, ps.k_off),
+        v_off=put(cache.v_off, ps.v_off),
         ring_k=put(cache.ring_k, ps.ring_k),
         ring_v=put(cache.ring_v, ps.ring_v),
         ring_fill=put(cache.ring_fill, ps.ring_fill),

@@ -1,0 +1,85 @@
+"""Per-dispatch wall-time distribution through the host-scheduled loop:
+where do ring configs lose time — hot steps, fires, or flushes?
+Run alone (single-tenant chip)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    from scope_tpu.models import llama
+    from scope_tpu.models.registry import get_spec
+    from scope_tpu.ops import quant
+    from scope_tpu.engine.host_loop import HostScheduledDecoder
+    from bench import build_state
+
+    ring = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    chunks = tuple(int(x) for x in sys.argv[2].split(",")) \
+        if len(sys.argv) > 2 and sys.argv[2] != "none" else ()
+    log(f"devices: {jax.devices()} ring={ring} chunks={chunks}")
+    spec = get_spec("llama-3.2-1b")
+    params = quant.quantize_layer_weights(
+        llama.init_params(spec, jax.random.key(0), jnp.bfloat16))
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
+        window_size=8, decoding_window_size=512, decoding_recent_size=256,
+        delta=30, evict_per_qhead=False)
+    ecfg = EngineConfig(
+        max_prompt_len=2048, max_new_tokens=7950, dtype="bfloat16",
+        uniform_lengths=True, kv_dtype="int8", decode_ring=ring,
+        decode_chunk_sizes=chunks)
+    tok, tl, cache, state = build_state(spec, comp, ecfg, params, 2048,
+                                        batch=64)
+    dec = HostScheduledDecoder(spec, comp, ecfg)
+    sched = dec.new_scheduler(2048)
+
+    # Warm up two fire periods so everything compiles.
+    s = 0
+    t0 = time.perf_counter()
+    while s < 2 * comp.delta + 8:
+        toks, cache, state = dec.step_auto(sched, params, tok, tl + s,
+                                           cache, state)
+        tok = toks[:, -1]
+        s += toks.shape[1]
+    _ = jax.device_get(tok)
+    log(f"warmup+compile: {time.perf_counter() - t0:.1f}s")
+
+    # Timed: per-dispatch wall, labeled by what the host planned.
+    events = []
+    for _ in range(96):
+        plan_fire = sched.next_fire_in() if hasattr(sched, "next_fire_in") \
+            else None
+        t0 = time.perf_counter()
+        toks, cache, state = dec.step_auto(sched, params, tok, tl + s,
+                                           cache, state)
+        tok = toks[:, -1]
+        k = toks.shape[1]
+        _ = jax.device_get(tok[:1])     # force full sync each dispatch
+        dt = time.perf_counter() - t0
+        events.append((dt, k, sched.ring_fill if ring else -1))
+        s += k
+    total_t = sum(e[0] for e in events)
+    total_k = sum(e[1] for e in events)
+    log(f"aggregate: {total_t / total_k * 1e3:.2f} ms/step "
+        f"({64 * total_k / total_t:.0f} tok/s)")
+    for dt, k, rf in events:
+        log(f"  {dt*1e3:8.2f} ms  k={k:3d}  ring_fill={rf}")
+
+
+if __name__ == "__main__":
+    main()
