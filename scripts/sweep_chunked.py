@@ -37,7 +37,9 @@ def main():
     from scope_tpu.config import CompressionConfig, EngineConfig
     from scope_tpu.models import llama
     from scope_tpu.models.registry import get_spec
+    from scope_tpu.utils import compile_cache
 
+    compile_cache.enable()
     log(f"devices: {jax.devices()}")
     spec = get_spec("llama-3.2-1b")
     params = llama.init_params(spec, jax.random.key(0), jnp.bfloat16)
