@@ -54,7 +54,8 @@ class ServingEngine:
                  token_budget: Optional[int] = None,
                  prefill_chunk: Optional[int] = None,
                  max_top_k: int = 64,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1,
+                 mesh=None):
         if comp.decoding_metric not in ("none", "fixed", "linear", "jump"):
             raise ValueError(
                 "serving supports per-request metrics none/fixed/linear/"
@@ -101,6 +102,17 @@ class ServingEngine:
                                 kv_dtype=ecfg.kv_dtype,
                                 ring=(ecfg.decode_ring if self._host_mode
                                       else 0))
+        # Tensor-parallel serving: weights and the slot cache shard over
+        # the mesh (heads on 'model'; slots replicate on a 1-wide 'data'
+        # axis so admission row-writes stay local).  Every jitted program
+        # below auto-partitions from these input shardings; the host-side
+        # engine logic is sharding-oblivious.
+        self.mesh = mesh
+        if mesh is not None:
+            from scope_tpu.parallel.sharding import (shard_cache,
+                                                     shard_params)
+            self.params = shard_params(self.params, mesh)
+            self.cache = shard_cache(self.cache, mesh)
         # Staging ring (ecfg.decode_ring, host-scheduled methods only):
         # ONE ring shared by all slots — every active row stages each
         # step, so the fill count is global.  Flushes happen before any

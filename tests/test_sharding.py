@@ -96,3 +96,36 @@ def test_cache_sharding_layout(mesh):
     shard_shape = sc.k.sharding.shard_shape(sc.k.shape)
     assert shard_shape[1] == 1          # batch 2 over data=2
     assert shard_shape[2] == 2          # 8 heads over model=4
+
+
+def test_sharded_serving_matches_unsharded():
+    """ServingEngine over a TP mesh (heads on 'model', slots replicated)
+    produces exactly the single-device engine's tokens — admissions,
+    pipelined fetches, ring flushes and fires included."""
+    import dataclasses
+    from scope_tpu.engine.serving import ServingEngine
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tp_mesh = make_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="jump", max_capacity_prompt=64,
+        window_size=8, decoding_window_size=32, decoding_recent_size=16,
+        delta=3)
+    ecfg = dataclasses.replace(ECFG, decode_ring=8,
+                               decode_chunk_sizes=(4, 2))
+    params = llama.init_params(SPEC8, jax.random.key(3), jnp.float32)
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120, 90)]
+
+    def run(mesh):
+        eng = ServingEngine(SPEC8, comp, ecfg, params, max_slots=2,
+                            mesh=mesh)
+        ids = [eng.submit(p, 12) for p in prompts]
+        return ids, eng.run()
+
+    ids_ref, res_ref = run(None)
+    ids_tp, res_tp = run(tp_mesh)
+    for rr, rt in zip(ids_ref, ids_tp):
+        np.testing.assert_array_equal(np.array(res_ref[rr]),
+                                      np.array(res_tp[rt]))
