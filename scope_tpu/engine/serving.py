@@ -60,6 +60,12 @@ class ServingEngine:
             raise ValueError(
                 "serving supports per-request metrics none/fixed/linear/"
                 "jump; h2o/slm/pyramidinfer have no per-row gating")
+        if (comp.method == "quest"
+                and comp.decoding_metric not in ("none", "fixed")):
+            raise ValueError(
+                "quest in serving supports none/fixed decode metrics "
+                "(stateless per-row gates); linear/jump counters are "
+                "stream-global in quest's decode path")
         self.spec, self.comp, self.ecfg = spec, comp, ecfg
         self.params = params
         self.max_slots = max_slots
@@ -100,6 +106,8 @@ class ServingEngine:
                                 st.capacity, spec.head_dim,
                                 jnp.dtype(ecfg.dtype),
                                 kv_dtype=ecfg.kv_dtype,
+                                with_pages=(comp.method == "quest"),
+                                num_pages=st.capacity // comp.chunk_size,
                                 ring=(ecfg.decode_ring if self._host_mode
                                       else 0))
         # Tensor-parallel serving: weights and the slot cache shard over
@@ -232,6 +240,10 @@ class ServingEngine:
                    if c.k_off is not None else None),
             v_off=(put(c.v_off, r.v_off)
                    if c.v_off is not None else None),
+            page_min=(put(c.page_min, r.page_min)
+                      if c.page_min is not None else None),
+            page_max=(put(c.page_max, r.page_max)
+                      if c.page_max is not None else None),
         )
         self.cur_tok[slot] = tok0
         self.vpos[slot] = prompt_len

@@ -299,3 +299,42 @@ def test_serving_pipeline_depths_match(depth):
     for rr, rp in zip(ids_ref, ids_p):
         np.testing.assert_array_equal(np.array(res_ref[rr]),
                                       np.array(res_p[rp]))
+
+
+@pytest.mark.parametrize("metric", ["none", "fixed"])
+def test_serving_quest_matches_single_stream(metric):
+    """Quest through serving: page metadata follows row inserts; tokens
+    match dedicated single-stream generation across slot reuse."""
+    comp = CompressionConfig(method="quest", decoding_metric=metric,
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3,
+                             chunk_size=8, quest_skip_layers=1)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    eng = ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
+    assert eng.cache.page_min is not None
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 90, 110)]
+    ids = [eng.submit(p, 16) for p in prompts]
+    results = eng.run()
+
+    from scope_tpu.engine.generate import generate_scan
+    for p, rid in zip(prompts, ids):
+        toks = np.zeros((1, 128), np.int32)
+        toks[0, :len(p)] = p
+        gen, _ = generate_scan(TINY_LLAMA, comp, ECFG, params,
+                               jnp.asarray(toks),
+                               jnp.array([len(p)], jnp.int32), 16, -1)
+        np.testing.assert_array_equal(np.asarray(gen[0]),
+                                      np.array(results[rid]))
+
+
+def test_serving_quest_rejects_global_counter_metrics():
+    comp = CompressionConfig(method="quest", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    with pytest.raises(ValueError):
+        ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
