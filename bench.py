@@ -224,7 +224,8 @@ def run_pair(spec, params, batch, prompt_len=2048):
 
 
 def run_scope_only(spec, params, batch, prompt_len=2048,
-                   kv_dtype="bfloat16", evict_per_qhead=True):
+                   kv_dtype="bfloat16", evict_per_qhead=True,
+                   weights_int8=False, ring=0, chunks=()):
     from scope_tpu.config import CompressionConfig, EngineConfig
 
     comp = CompressionConfig(
@@ -234,9 +235,14 @@ def run_scope_only(spec, params, batch, prompt_len=2048,
         evict_per_qhead=evict_per_qhead)
     ecfg = EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
                         dtype="bfloat16", uniform_lengths=True,
-                        kv_dtype=kv_dtype)
+                        kv_dtype=kv_dtype, decode_ring=ring,
+                        decode_chunk_sizes=tuple(chunks))
+    if weights_int8:
+        from scope_tpu.ops import quant
+        params = quant.quantize_layer_weights(params)
     tps = measure_decode(spec, comp, ecfg, params, prompt_len, batch=batch)
-    log(f"[batch={batch} kv={kv_dtype} qhead={evict_per_qhead}] "
+    log(f"[batch={batch} kv={kv_dtype} qhead={evict_per_qhead} "
+        f"w8={weights_int8} ring={ring} chunks={tuple(chunks)}] "
         f"scope decode: {tps:.1f} tok/s")
     return tps
 

@@ -57,6 +57,8 @@ class ModelSpec:
     rope_scaling: Optional[Tuple[float, float, float, int]] = None
     # Mistral-style sliding window attention; None = global attention.
     sliding_window: Optional[int] = None
+    # Qwen2-style q/k/v projection bias (o_proj stays bias-free).
+    attention_bias: bool = False
     arch: str = "llama"
 
     @property

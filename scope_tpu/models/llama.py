@@ -77,9 +77,22 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16
             "w_down": dense(keys[7], (L, I, E), I),
         },
     }
+    if spec.attention_bias:
+        # Qwen2-style qkv bias, fused in the same kv-head-grouped column
+        # layout as wqkv so TP shards slice weight and bias together.
+        params["layers"]["bqkv"] = dense(
+            keys[9], (L, Hkv * (G + 2) * D), Hkv * (G + 2) * D)
     if not spec.tie_word_embeddings:
         params["lm_head"] = dense(keys[8], (E, spec.vocab_size), E)
     return params
+
+
+def qkv_flat(p, h: jnp.ndarray) -> jnp.ndarray:
+    """Fused qkv projection [..., Hkv*(G+2)*D] with optional Qwen2 bias."""
+    out = wdot(h, p, "wqkv")
+    if "bqkv" in p:
+        out = out + p["bqkv"].astype(out.dtype)
+    return out
 
 
 def _lm_logits(spec: ModelSpec, params: Params, h: jnp.ndarray) -> jnp.ndarray:
@@ -142,7 +155,7 @@ def layer_qkv(spec: ModelSpec, p, x: jnp.ndarray, cos, sin):
     Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
     G = spec.num_kv_groups
     h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-    qkv = wdot(h, p, "wqkv").reshape(B, S, Hkv, G + 2, D)
+    qkv = qkv_flat(p, h).reshape(B, S, Hkv, G + 2, D)
     q = qkv[:, :, :, :G].reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
     k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
     v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
@@ -333,7 +346,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     for l in range(L):
         p = {name: arr[l] for name, arr in lp.items()}
         h = rms_norm(x, p["ln_attn"], spec.rms_norm_eps)
-        qkv = wdot(h, p, "wqkv").reshape(B, 1, Hkv, G + 2, D)
+        qkv = qkv_flat(p, h).reshape(B, 1, Hkv, G + 2, D)
         q = qkv[:, :, :, :G].reshape(B, 1, Hq, D).transpose(0, 2, 1, 3)
         k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
         v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)

@@ -46,7 +46,13 @@ def spec_from_hf_config(cfg: Dict[str, Any], name: str = "hf-model"
         max_position_embeddings=cfg.get("max_position_embeddings", 8192),
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
         rope_scaling=rope_scaling,
-        sliding_window=cfg.get("sliding_window"),
+        # Qwen2 gates its window behind use_sliding_window (default off).
+        sliding_window=(cfg.get("sliding_window")
+                        if cfg.get("use_sliding_window", True) else None),
+        # Qwen2's qkv bias is hardcoded in the HF model, not serialized
+        # in config.json (transformers Qwen2Attention bias=True).
+        attention_bias=cfg.get("attention_bias",
+                               cfg.get("model_type") == "qwen2"),
         arch=cfg.get("model_type", "llama"),
     )
 
@@ -55,6 +61,9 @@ _LAYER_KEYS = {
     "self_attn.q_proj.weight": "wq",
     "self_attn.k_proj.weight": "wk",
     "self_attn.v_proj.weight": "wv",
+    "self_attn.q_proj.bias": "bq",
+    "self_attn.k_proj.bias": "bk",
+    "self_attn.v_proj.bias": "bv",
     "self_attn.o_proj.weight": "wo",
     "mlp.gate_proj.weight": "w_gate",
     "mlp.up_proj.weight": "w_up",
@@ -98,6 +107,9 @@ def params_from_state_dict(spec: ModelSpec, tensors: Dict[str, np.ndarray],
             arr = arr.T  # [out, in] -> [in, out]
         layers[name][idx] = arr
 
+    for name in ("bq", "bk", "bv"):
+        if not spec.attention_bias and all(v is None for v in layers[name]):
+            layers.pop(name)
     for name, vals in layers.items():
         missing = [i for i, v in enumerate(vals) if v is None]
         if missing:
@@ -112,6 +124,13 @@ def params_from_state_dict(spec: ModelSpec, tensors: Dict[str, np.ndarray],
     k = layers.pop("wk").reshape(L_, E, Hkv, 1, D)
     v = layers.pop("wv").reshape(L_, E, Hkv, 1, D)
     layers["wqkv"] = np.concatenate([q, k, v], axis=3).reshape(L_, E, -1)
+    if "bq" in layers:
+        # Fuse the qkv biases with the same kv-head grouping as wqkv.
+        bq = layers.pop("bq").reshape(L_, Hkv, G, D)
+        bk = layers.pop("bk").reshape(L_, Hkv, 1, D)
+        bv = layers.pop("bv").reshape(L_, Hkv, 1, D)
+        layers["bqkv"] = np.concatenate([bq, bk, bv],
+                                        axis=2).reshape(L_, -1)
 
     for name, arr in layers.items():
         params["layers"][name] = cast(arr)

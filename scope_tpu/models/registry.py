@@ -71,6 +71,26 @@ MISTRAL_7B = register(ModelSpec(
     head_dim=128, rope_theta=10000.0, rms_norm_eps=1e-5,
     max_position_embeddings=32768, sliding_window=4096, arch="mistral"))
 
+QWEN25_7B = register(ModelSpec(
+    name="qwen2.5-7b", vocab_size=152064, hidden_size=3584,
+    intermediate_size=18944, num_layers=28, num_heads=28, num_kv_heads=4,
+    head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6,
+    max_position_embeddings=32768, attention_bias=True, arch="qwen2"))
+
+QWEN25_1_5B = register(ModelSpec(
+    name="qwen2.5-1.5b", vocab_size=151936, hidden_size=1536,
+    intermediate_size=8960, num_layers=28, num_heads=12, num_kv_heads=2,
+    head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6,
+    max_position_embeddings=32768, tie_word_embeddings=True,
+    attention_bias=True, arch="qwen2"))
+
+QWEN25_0_5B = register(ModelSpec(
+    name="qwen2.5-0.5b", vocab_size=151936, hidden_size=896,
+    intermediate_size=4864, num_layers=24, num_heads=14, num_kv_heads=2,
+    head_dim=64, rope_theta=1000000.0, rms_norm_eps=1e-6,
+    max_position_embeddings=32768, tie_word_embeddings=True,
+    attention_bias=True, arch="qwen2"))
+
 # Small configs for tests / CI (CPU-friendly).
 TINY_LLAMA = register(ModelSpec(
     name="tiny-llama", vocab_size=512, hidden_size=64,
@@ -83,3 +103,9 @@ TINY_MISTRAL = register(ModelSpec(
     intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
     head_dim=16, rope_theta=10000.0, rms_norm_eps=1e-5,
     max_position_embeddings=2048, sliding_window=64, arch="mistral"))
+
+TINY_QWEN2 = register(ModelSpec(
+    name="tiny-qwen2", vocab_size=512, hidden_size=64,
+    intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
+    head_dim=16, rope_theta=10000.0, rms_norm_eps=1e-6,
+    max_position_embeddings=2048, attention_bias=True, arch="qwen2"))

@@ -60,6 +60,9 @@ def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
             "w_down": P(None, MODEL_AXIS, None),
         },
     }
+    if "bqkv" in params["layers"]:
+        # Fused qkv bias shards with wqkv's output (F) axis.
+        specs["layers"]["bqkv"] = P(None, MODEL_AXIS)
     if "lm_head" in params:
         specs["lm_head"] = P(None, MODEL_AXIS)
     if "lm_head_t" in params:
