@@ -72,6 +72,48 @@ def test_sharded_generation_matches_single_device(mesh, method, metric):
     np.testing.assert_array_equal(np.stack(ref_seq), np.stack(got_seq))
 
 
+def test_sharded_qkv_bias_matches_single_device(mesh):
+    """Qwen2-style fused qkv bias shards on the same F axis as wqkv and
+    keeps sharded generation exactly equal to the single-device run."""
+    spec = SPEC8.replace(name="tiny-8h-bias", attention_bias=True)
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="fixed", max_capacity_prompt=64,
+        window_size=8, decoding_window_size=32, decoding_recent_size=16,
+        delta=3)
+    params = llama.init_params(spec, jax.random.key(5), jnp.float32)
+    rng = np.random.default_rng(5)
+    toks = jnp.asarray(rng.integers(0, 512, (2, 128)), jnp.int32)
+    tl = jnp.full((2,), 100, jnp.int32)
+
+    logits, cache, state = llama.prefill(spec, comp, ECFG, params, toks, tl)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    ref_seq = [np.asarray(tok)]
+    for s in range(8):
+        logits, cache, state = llama.decode_step(spec, comp, ECFG, params,
+                                                 tok, tl + s, cache, state)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        ref_seq.append(np.asarray(tok))
+
+    sp = shard_params(params, mesh)
+    group_w = (spec.num_kv_groups + 2) * spec.head_dim
+    bshape = sp["layers"]["bqkv"].sharding.shard_shape(
+        sp["layers"]["bqkv"].shape)
+    assert bshape[-1] == spec.num_kv_heads // 4 * group_w
+    logits, cache, state = jax.jit(
+        lambda p, t, l: llama.prefill(spec, comp, ECFG, p, t, l))(sp, toks,
+                                                                  tl)
+    cache = shard_cache(cache, mesh)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    got_seq = [np.asarray(tok)]
+    step = jax.jit(lambda p, t, v, c, s: llama.decode_step(
+        spec, comp, ECFG, p, t, v, c, s))
+    for s in range(8):
+        logits, cache, state = step(sp, tok, tl + s, cache, state)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        got_seq.append(np.asarray(tok))
+    np.testing.assert_array_equal(np.stack(ref_seq), np.stack(got_seq))
+
+
 def test_param_sharding_layout(mesh):
     params = llama.init_params(SPEC8, jax.random.key(0), jnp.float32)
     sp = shard_params(params, mesh)
