@@ -20,6 +20,26 @@ import numpy as np
 from scope_tpu.config import ModelSpec
 
 
+def _resolve_sliding_window(cfg: Dict[str, Any]):
+    """HF Qwen2 windows only layers >= max_window_layers
+    (modeling_qwen2: use_sliding_window and layer_idx >= max_window_layers);
+    ModelSpec.sliding_window is all-layers-uniform, so only the two
+    extremes map faithfully.  No shipped Qwen2.5 checkpoint enables the
+    window (all ship use_sliding_window=false)."""
+    win = cfg.get("sliding_window")
+    if win is None or not cfg.get("use_sliding_window", True):
+        return None
+    mwl = cfg.get("max_window_layers", 0)
+    n_layers = cfg["num_hidden_layers"]
+    if mwl >= n_layers:
+        return None          # window never applies to any layer
+    if mwl > 0:
+        raise NotImplementedError(
+            f"per-layer sliding windows (max_window_layers={mwl} of "
+            f"{n_layers}) are not supported; ModelSpec windows are uniform")
+    return win
+
+
 def spec_from_hf_config(cfg: Dict[str, Any], name: str = "hf-model"
                         ) -> ModelSpec:
     """Build a ModelSpec from an HF config.json dict (llama/mistral)."""
@@ -46,9 +66,10 @@ def spec_from_hf_config(cfg: Dict[str, Any], name: str = "hf-model"
         max_position_embeddings=cfg.get("max_position_embeddings", 8192),
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
         rope_scaling=rope_scaling,
-        # Qwen2 gates its window behind use_sliding_window (default off).
-        sliding_window=(cfg.get("sliding_window")
-                        if cfg.get("use_sliding_window", True) else None),
+        # Qwen2 gates its window behind use_sliding_window (default off)
+        # and applies it only to layers >= max_window_layers; a uniform
+        # ModelSpec window is only faithful at the two extremes.
+        sliding_window=_resolve_sliding_window(cfg),
         # Qwen2's qkv bias is hardcoded in the HF model, not serialized
         # in config.json (transformers Qwen2Attention bias=True).
         attention_bias=cfg.get("attention_bias",

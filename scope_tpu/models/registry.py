@@ -75,7 +75,7 @@ QWEN25_7B = register(ModelSpec(
     name="qwen2.5-7b", vocab_size=152064, hidden_size=3584,
     intermediate_size=18944, num_layers=28, num_heads=28, num_kv_heads=4,
     head_dim=128, rope_theta=1000000.0, rms_norm_eps=1e-6,
-    max_position_embeddings=32768, attention_bias=True, arch="qwen2"))
+    max_position_embeddings=131072, attention_bias=True, arch="qwen2"))
 
 QWEN25_1_5B = register(ModelSpec(
     name="qwen2.5-1.5b", vocab_size=151936, hidden_size=1536,

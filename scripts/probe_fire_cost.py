@@ -26,15 +26,22 @@ def main():
     from scope_tpu.models.registry import get_spec
     from scope_tpu.ops import quant
     from scope_tpu.engine.host_loop import HostScheduledDecoder
+    from scope_tpu.utils import compile_cache
     from bench import build_state
+
+    compile_cache.enable()
 
     ring = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     chunks = tuple(int(x) for x in sys.argv[2].split(",")) \
         if len(sys.argv) > 2 and sys.argv[2] != "none" else ()
-    log(f"devices: {jax.devices()} ring={ring} chunks={chunks}")
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    w8 = not (len(sys.argv) > 4 and sys.argv[4] == "bf16")
+    log(f"devices: {jax.devices()} ring={ring} chunks={chunks} "
+        f"batch={batch} w8={w8}")
     spec = get_spec("llama-3.2-1b")
-    params = quant.quantize_layer_weights(
-        llama.init_params(spec, jax.random.key(0), jnp.bfloat16))
+    params = llama.init_params(spec, jax.random.key(0), jnp.bfloat16)
+    if w8:
+        params = quant.quantize_layer_weights(params)
     comp = CompressionConfig(
         method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
         window_size=8, decoding_window_size=512, decoding_recent_size=256,
@@ -44,14 +51,24 @@ def main():
         uniform_lengths=True, kv_dtype="int8", decode_ring=ring,
         decode_chunk_sizes=chunks)
     tok, tl, cache, state = build_state(spec, comp, ecfg, params, 2048,
-                                        batch=64)
+                                        batch=batch)
     dec = HostScheduledDecoder(spec, comp, ecfg)
     sched = dec.new_scheduler(2048)
 
-    # Warm up two fire periods so everything compiles.
+    # Warm PAST THE FIRST FIRE (lands ~step 265 for W=512 r=256 delta=30)
+    # so force/flush programs compile before timing; then one more period.
+    sim = dec.new_scheduler(2048)
+    ff = 0
+    while ff < 100_000:
+        p = sim.plan_step()
+        ff += 1
+        if (p.fire_any if hasattr(p, "fire_any") else p.fire):
+            break
+    n_warm = ff + comp.delta + 4
+    log(f"first fire at step {ff}; warming {n_warm} steps")
     s = 0
     t0 = time.perf_counter()
-    while s < 2 * comp.delta + 8:
+    while s < n_warm:
         toks, cache, state = dec.step_auto(sched, params, tok, tl + s,
                                            cache, state)
         tok = toks[:, -1]
@@ -76,7 +93,7 @@ def main():
     total_t = sum(e[0] for e in events)
     total_k = sum(e[1] for e in events)
     log(f"aggregate: {total_t / total_k * 1e3:.2f} ms/step "
-        f"({64 * total_k / total_t:.0f} tok/s)")
+        f"({batch * total_k / total_t:.0f} tok/s)")
     for dt, k, rf in events:
         log(f"  {dt*1e3:8.2f} ms  k={k:3d}  ring_fill={rf}")
 

@@ -14,14 +14,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import log, run_scope_only  # noqa: E402
 
-# (batch, kv_dtype, weights_int8, ring, chunks)
+# (batch, kv_dtype, ring, chunks).  Weights are ALWAYS int8-quantized
+# once in main() (pre-quantizing frees the bf16 tree; passing
+# weights_int8=True per-run would keep both trees alive and OOM).
 CONFIGS = [
-    (192, "int8", True, 64, ()),
-    (256, "int8", True, 64, ()),
-    (192, "int8", True, 64, (8,)),
-    (256, "int4", True, 64, ()),
-    (384, "int4", True, 64, ()),
-    (128, "int8", True, 64, ()),
+    (192, "int8", 64, ()),
+    (256, "int8", 64, ()),
+    (192, "int8", 64, (8,)),
+    (256, "int4", 64, ()),
+    (384, "int4", 64, ()),
+    (128, "int8", 64, ()),
 ]
 
 
@@ -44,8 +46,8 @@ def main():
     picks = [int(a) for a in sys.argv[1:]] or range(len(CONFIGS))
     results = {}
     for i in picks:
-        b, kv, w8, ring, chunks = CONFIGS[i]
-        tag = f"b{b}/{kv}/w8={w8}/ring={ring}/chunks={chunks}"
+        b, kv, ring, chunks = CONFIGS[i]
+        tag = f"b{b}/{kv}/w8/ring={ring}/chunks={chunks}"
         try:
             tps = run_scope_only(spec, params, b, kv_dtype=kv,
                                  evict_per_qhead=False, weights_int8=False,
