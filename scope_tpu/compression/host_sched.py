@@ -31,10 +31,15 @@ from scope_tpu.config import CompressionConfig
 
 
 def host_schedulable(comp: CompressionConfig) -> bool:
-    """Methods whose cache length is ONE deterministic stream (layer-
-    uniform): the host mirrors a single length/counter set."""
+    """Methods whose decode gates the host can mirror exactly.
+
+    Layer-uniform length streams (fullkv/allkv/h2o/snapkv/streamingllm)
+    mirror one counter set; quest mirrors per-layer lengths (its skip
+    layers never compress and never advance the counters,
+    kv_utils.py:1277-1278, so jump waves span two steps) via
+    :class:`QuestHostScheduler`."""
     return (comp.method in ("fullkv", "allkv", "h2o", "snapkv",
-                            "streamingllm")
+                            "streamingllm", "quest")
             and comp.decoding_metric in ("none", "fixed", "linear", "jump"))
 
 
@@ -187,6 +192,111 @@ class HostScheduler:
         for _ in range(n):
             plan = self.plan_step()
             assert not plan.fire, "advance_hot crossed a fire step"
+
+
+class QuestHostScheduler:
+    """Host mirror for quest's decode-region compression gates.
+
+    Mirrors compression/quest.quest_decode_layer exactly: the skip layers
+    (kv_utils.py:1277-1278) never compress AND never advance the shared
+    counters, so only L-skip counter increments happen per step — w_t
+    grows slower than the generic metrics and a jump wave needs two
+    consecutive steps to cover all L jump_layer increments (the second
+    step re-fires the first wave's layers; reference class-attr
+    arithmetic, reproduced bit-for-bit).  Per-layer lengths: the skip
+    layers' decode regions grow unboundedly; fired layers reset to
+    prompt_len + n_keep + r."""
+
+    def __init__(self, comp: CompressionConfig, num_layers: int,
+                 prompt_len: int, keep_cap: int):
+        self.comp = comp
+        self.L = num_layers
+        self.skip = comp.quest_skip_layers
+        self.prompt_len = prompt_len
+        self.lengths = [prompt_len] * num_layers
+        self.keep_cap = keep_cap
+        self.step_counter = 0
+        self.jump_step = 0
+        self.jump_layer = 0
+        self.ring_fill = 0      # unused (quest never stages a ring)
+
+    def plan_step(self) -> LayeredStepPlan:
+        comp = self.comp
+        m = comp.decoding_metric
+        W = comp.decoding_window_size
+        r = comp.decoding_recent_size
+        thresh = comp.delta * self.L
+        fire = [False] * self.L
+        n_keep = [0] * self.L
+        for l in range(self.L):
+            self.lengths[l] += 1            # the appended token
+            if m == "none" or l < self.skip:
+                continue
+            dk = self.lengths[l] - self.prompt_len
+            if m in ("linear", "jump"):
+                w_t = r + self.step_counter // thresh
+                self.step_counter += 1
+            else:                            # fixed
+                w_t = W
+            gate = dk >= w_t
+            if m == "jump":
+                counting = gate and self.jump_step < thresh
+                wave = gate and self.jump_step >= thresh
+                if counting:
+                    self.jump_step += 1
+                if wave:
+                    self.jump_layer += 1
+                if self.jump_layer >= self.L:
+                    self.jump_step = 0
+                    self.jump_layer = 0
+                f = gate and wave
+            else:
+                f = gate
+            if f:
+                nk = max(0, min(w_t - r, self.keep_cap))
+                nk = min(nk, max(dk - r, 0))
+                fire[l] = True
+                n_keep[l] = nk
+                self.lengths[l] = self.prompt_len + nk + r
+        return LayeredStepPlan(fire_any=any(fire), fire=fire,
+                               n_keep=n_keep)
+
+    # -- chunk planning (see HostScheduler) -----------------------------
+    def _snapshot(self):
+        return (list(self.lengths), self.step_counter, self.jump_step,
+                self.jump_layer)
+
+    def _restore(self, snap):
+        lengths, self.step_counter, self.jump_step, self.jump_layer = snap
+        self.lengths = lengths
+
+    def hot_run_length(self, max_n: int) -> int:
+        snap = self._snapshot()
+        n = 0
+        while n < max_n and not self.plan_step().fire_any:
+            n += 1
+        self._restore(snap)
+        return n
+
+    def advance_hot(self, n: int):
+        for _ in range(n):
+            plan = self.plan_step()
+            assert not plan.fire_any, "advance_hot crossed a fire step"
+
+    @property
+    def length(self) -> int:
+        """Largest live total length across layers (bucketing)."""
+        return max(self.lengths)
+
+    @property
+    def dec_len(self) -> int:
+        """Largest PAGED-layer decode-region length (quest_dec_cap
+        bucketing; the skip layers attend via the dense full-cache
+        branch, bounded by the total-length bucket instead)."""
+        if self.L <= self.skip:
+            return 0
+        return max(self.lengths[l] - self.prompt_len
+                   for l in range(self.skip, self.L))
 
 
 class LayeredHostScheduler:

@@ -102,6 +102,10 @@ def quest_decode_stacked(
     dec_cap: int,
     softmax_f32: bool = True,
     groups: int = 1,
+    compress_mode: str = "cond",
+    force_row_gate=None,
+    force_n_keep=None,
+    tot_cap: int = 0,
 ):
     """Stacked-buffer wrapper: static-slice reads, cond-gated write-back.
 
@@ -110,7 +114,9 @@ def quest_decode_stacked(
         comp, caps, state, q, ck_all[l], cv_all[l], len_all[l],
         prompt_len, page_min_all[l], page_max_all[l], l,
         num_layers, dec_cap=dec_cap, softmax_f32=softmax_f32,
-        groups=groups, stacked=(ck_all, cv_all, len_all, l))
+        groups=groups, stacked=(ck_all, cv_all, len_all, l),
+        compress_mode=compress_mode, force_row_gate=force_row_gate,
+        force_n_keep=force_n_keep, tot_cap=tot_cap)
     return out, ck, cv, length, state
 
 
@@ -132,15 +138,36 @@ def quest_decode_layer(
     softmax_f32: bool = True,
     groups: int = 1,
     stacked=None,
+    compress_mode: str = "cond",
+    force_row_gate=None,
+    force_n_keep=None,
+    tot_cap: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, SchedState]:
     """Returns (attn_out [B, Hq, 1, D], ck, cv, length, state).
 
     With ``stacked=(ck_all, cv_all, len_all, l)`` the compression rewrite
     is applied directly to the stacked [L, ...] buffers (in-place under
-    donation) and the stacked arrays are returned instead."""
+    donation) and the stacked arrays are returned instead.
+
+    compress_mode (host scheduling — quest's gates are deterministic
+    given lengths, compression/host_sched.QuestHostScheduler):
+      "cond"  device counters + lax.cond rewrite (single-stream default);
+      "off"   hot step: page selection + attention only, counters and
+              rewrite machinery removed from the program entirely;
+      "force" host-planned fire: use force_row_gate/force_n_keep ([B])
+              instead of the counters; rewrite gated per row.
+    dec_cap bounds the decode-region view (host-bucketed: the region
+    grows from 0, so early steps attend a small static slice, not the
+    max_new_tokens-wide one); tot_cap, when > 0, bounds the dense-layer
+    full-cache view the same way."""
     B, Hq, _, D = q.shape
     Hc = ck.shape[1]
     cap = ck.shape[2]
+    if tot_cap and tot_cap < cap:
+        ck_r, cv_r = ck[:, :, :tot_cap], cv[:, :, :tot_cap]
+        cap_r = tot_cap
+    else:
+        ck_r, cv_r, cap_r = ck, cv, cap
     chunk = comp.chunk_size
     NP = page_min.shape[2]
     P = comp.max_capacity_prompt
@@ -152,7 +179,8 @@ def quest_decode_layer(
     # ---------------- counters (shared class-attr semantics) -------------
     metric = comp.decoding_metric
     dk_len = length - prompt_len                               # [B]
-    if metric in ("linear", "jump"):
+    use_counters = compress_mode == "cond" and metric != "none"
+    if use_counters and metric in ("linear", "jump"):
         w_t = r + state.step // (comp.delta * num_layers)
     else:
         w_t = jnp.full((), W, jnp.int32)
@@ -164,7 +192,7 @@ def quest_decode_layer(
     not_dense = jnp.asarray(jnp.logical_not(dense))
     # Reference returns before touching counters for layers 0..1
     # (kv_utils.py:1277-1278).
-    if metric in ("linear", "jump"):
+    if use_counters and metric in ("linear", "jump"):
         state = state.replace(step=jnp.where(dense, state.step,
                                              state.step + 1))
 
@@ -207,7 +235,7 @@ def quest_decode_layer(
     dec_valid = jnp.broadcast_to(dec_valid, (B, Hc, dec_cap))
 
     all_idx = jnp.clip(jnp.concatenate([tok_idx, dec_idx], axis=-1),
-                       0, cap - 1)
+                       0, cap_r - 1)
     all_valid = jnp.concatenate([tok_valid, dec_valid], axis=-1)
 
     # Quantized caches: compute in q's dtype (K scale is folded into q,
@@ -216,8 +244,8 @@ def quest_decode_layer(
     cd = q.dtype if jnp.issubdtype(ck.dtype, jnp.integer) else cv.dtype
 
     def attend(idx, valid):
-        k_sel = jnp.take_along_axis(ck, idx[..., None], axis=2)
-        v_sel = jnp.take_along_axis(cv, idx[..., None], axis=2)
+        k_sel = jnp.take_along_axis(ck_r, idx[..., None], axis=2)
+        v_sel = jnp.take_along_axis(cv_r, idx[..., None], axis=2)
         acc = jnp.float32 if softmax_f32 else q.dtype
         logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(k_sel, cd),
                             preferred_element_type=acc) * scale
@@ -232,19 +260,20 @@ def quest_decode_layer(
         return out, probs[:, :, SELP * chunk:]                  # decode part
 
     def dense_branch(_):
-        # Full attention over all valid slots (layers 0..1).
-        slot = jnp.arange(cap)
+        # Full attention over all valid slots (layers 0..1), bucketed to
+        # tot_cap when the host knows the live length.
+        slot = jnp.arange(cap_r)
         valid = jnp.broadcast_to(slot[None, None, :] < length[:, None, None],
-                                 (B, Hc, cap))
+                                 (B, Hc, cap_r))
         acc = jnp.float32 if softmax_f32 else q.dtype
-        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(ck, cd),
+        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(ck_r, cd),
                             preferred_element_type=acc) * scale
         logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
-                         _tc(cv, cd))
+                         _tc(cv_r, cd))
         dec_probs = jnp.take_along_axis(probs.sum(axis=2),
-                                        jnp.clip(dec_idx, 0, cap - 1),
+                                        jnp.clip(dec_idx, 0, cap_r - 1),
                                         axis=-1)
         return out.reshape(B, Hq, 1, D), dec_probs
 
@@ -257,29 +286,41 @@ def quest_decode_layer(
         out, dec_probs = lax.cond(dense, dense_branch, quest_branch, None)
 
     # ---------------- decode-region compression ---------------------------
-    if metric == "none":
+    if metric == "none" or compress_mode == "off":
+        # Hot host-scheduled steps carry NO rewrite machinery at all
+        # (the host mirrors the gates, host_sched.QuestHostScheduler).
         if stacked is not None:
             cka, cva, la, _ = stacked
             return out, cka, cva, la, state
         return out, ck, cv, length, state
 
-    # Gates are relative to the decode region (kv_utils.py:1397, :1422).
-    row_gate = dk_len >= w_t
-    if metric == "jump":
-        thresh = comp.delta * num_layers
-        gate_any = jnp.any(row_gate) & not_dense
-        counting = gate_any & (state.jump_step < thresh)
-        wave = gate_any & (state.jump_step >= thresh)
-        js = state.jump_step + counting.astype(jnp.int32)
-        jl = state.jump_layer + wave.astype(jnp.int32)
-        finished = jl >= num_layers
-        state = state.replace(jump_step=jnp.where(finished, 0, js),
-                              jump_layer=jnp.where(finished, 0, jl))
-        row_gate = row_gate & wave
+    if compress_mode == "force":
+        # Host-planned fire: gates/keeps come in, counters stay host-side.
+        row_gate = force_row_gate
+        n_keep = force_n_keep
+    else:
+        # Gates are relative to the decode region (kv_utils.py:1397,:1422).
+        row_gate = dk_len >= w_t
+        if metric == "jump":
+            thresh = comp.delta * num_layers
+            # Scalar counters: one stream, any-row gate (reference
+            # class-attr arithmetic).  Per-row counters ([B]): each row
+            # runs its own wave (continuous-batching serving).
+            per_row = state.jump_step.ndim == 1
+            gate = row_gate if per_row else jnp.any(row_gate)
+            gate = gate & not_dense
+            counting = gate & (state.jump_step < thresh)
+            wave = gate & (state.jump_step >= thresh)
+            js = state.jump_step + counting.astype(jnp.int32)
+            jl = state.jump_layer + wave.astype(jnp.int32)
+            finished = jl >= num_layers
+            state = state.replace(jump_step=jnp.where(finished, 0, js),
+                                  jump_layer=jnp.where(finished, 0, jl))
+            row_gate = row_gate & wave
 
-    n_keep = jnp.clip(w_t - r, 0, caps.keep_cap)
-    n_keep = jnp.minimum(jnp.broadcast_to(n_keep, (B,)),
-                         jnp.maximum(dk_len - r, 0))
+        n_keep = jnp.clip(w_t - r, 0, caps.keep_cap)
+        n_keep = jnp.minimum(jnp.broadcast_to(n_keep, (B,)),
+                             jnp.maximum(dk_len - r, 0))
 
     # Scatter decode-region probabilities to absolute slot positions so the
     # generic keep-map applies with pseg = prompt_len.

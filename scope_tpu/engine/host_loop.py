@@ -31,6 +31,7 @@ class HostScheduledDecoder:
     def __init__(self, spec: ModelSpec, comp: CompressionConfig,
                  ecfg: EngineConfig):
         self._layered = host_schedulable_layered(comp)
+        self._quest = comp.method == "quest"
         if not (host_schedulable(comp) or self._layered):
             raise ValueError(
                 f"{comp.method}+{comp.decoding_metric} needs the device "
@@ -48,6 +49,16 @@ class HostScheduledDecoder:
             b *= 2
         buckets.append(self._capacity)
         self._buckets = buckets
+        # Quest: the decode region gets its own bucket ladder (it grows
+        # from 0 toward max_new_tokens; the un-bucketed path attends the
+        # full max_new-wide region from step one).
+        dcap = ecfg.max_new_tokens + 1
+        dbuckets, b = [], 512
+        while b < dcap:
+            dbuckets.append(b)
+            b *= 2
+        dbuckets.append(dcap)
+        self._dec_buckets = dbuckets
         self._step_fns = {}
         # Fire steps are rare; they always run at full capacity.
         self._step_force = jax.jit(
@@ -55,7 +66,8 @@ class HostScheduledDecoder:
                     compress_mode="force"), donate_argnums=(3,))
         # Staging ring (ecfg.decode_ring): hot steps write the small ring
         # buffer; the host flushes before fires and when the ring fills.
-        self._ring = ecfg.decode_ring
+        # Quest appends per layer inside its own path and never stages.
+        self._ring = 0 if self._quest else ecfg.decode_ring
         self._flush_fns = {}
 
     def flush(self, sched, cache, batch: int):
@@ -75,28 +87,39 @@ class HostScheduledDecoder:
         sched.ring_fill = 0
         return cache
 
-    def _step_off(self, bucket: int):
-        fn = self._step_fns.get(bucket)
+    def _step_off(self, bucket: int, dec_bucket: Optional[int] = None):
+        fn = self._step_fns.get((bucket, dec_bucket))
         if fn is None:
             fn = jax.jit(
                 partial(llama.decode_step, self.spec, self.comp, self.ecfg,
                         compress_mode="off", attn_cap=bucket,
-                        layer_uniform_lengths=not self._layered),
+                        layer_uniform_lengths=not self._layered,
+                        quest_dec_cap=dec_bucket),
                 donate_argnums=(3,))
-            self._step_fns[bucket] = fn
+            self._step_fns[(bucket, dec_bucket)] = fn
         return fn
 
-    def _step_chunk(self, bucket: int, n: int):
+    def _step_chunk(self, bucket: int, n: int,
+                    dec_bucket: Optional[int] = None):
         """Jitted n-step hot chunk (llama.decode_steps) at ``bucket``."""
-        fn = self._step_fns.get((bucket, n))
+        fn = self._step_fns.get((bucket, n, dec_bucket))
         if fn is None:
             fn = jax.jit(
                 partial(llama.decode_steps, self.spec, self.comp,
                         self.ecfg, n_steps=n, attn_cap=bucket,
-                        layer_uniform_lengths=not self._layered),
+                        layer_uniform_lengths=not self._layered,
+                        quest_dec_cap=dec_bucket),
                 donate_argnums=(3,))
-            self._step_fns[(bucket, n)] = fn
+            self._step_fns[(bucket, n, dec_bucket)] = fn
         return fn
+
+    def _dec_bucket_for(self, needed: int) -> Optional[int]:
+        if not self._quest:
+            return None
+        for b in self._dec_buckets:
+            if needed <= b:
+                return b
+        return self._dec_buckets[-1]
 
     def step_auto(self, sched, params, tok, vpos, cache, state):
         """Advance 1..max(chunk_sizes) decode steps, chunking fire-free
@@ -114,7 +137,9 @@ class HostScheduledDecoder:
             for n in sizes:
                 if n <= run:
                     bucket = self._bucket_for(sched.length + n)
-                    toks, cache, state = self._step_chunk(bucket, n)(
+                    db = self._dec_bucket_for(sched.dec_len + n) \
+                        if self._quest else None
+                    toks, cache, state = self._step_chunk(bucket, n, db)(
                         params, tok, vpos, cache, state)
                     sched.advance_hot(n)
                     if self._ring:
@@ -140,6 +165,10 @@ class HostScheduledDecoder:
             return LayeredHostScheduler(comp, self.spec.num_layers,
                                         prompt_len, pad, self._keep_cap,
                                         self._capacity)
+        if self._quest:
+            from scope_tpu.compression.host_sched import QuestHostScheduler
+            return QuestHostScheduler(comp, self.spec.num_layers,
+                                      prompt_len, self._keep_cap)
         if comp.method in ("fullkv", "allkv"):
             kept = prompt_len
         else:
@@ -150,13 +179,14 @@ class HostScheduledDecoder:
     def step(self, sched, params, tok, vpos, cache, state):
         plan = sched.plan_step()
         B = tok.shape[0]
-        fire = plan.fire_any if self._layered else plan.fire
+        layered = self._layered or self._quest
+        fire = plan.fire_any if layered else plan.fire
         if self._ring:
             # Fires need a contiguous cache; a full ring must drain
             # before another hot step can stage.
             if fire or sched.ring_fill >= self._ring:
                 cache = self.flush(sched, cache, B)
-        if self._layered:
+        if layered:
             if plan.fire_any:
                 gate = jnp.asarray(np.broadcast_to(
                     np.asarray(plan.fire, bool)[:, None],
@@ -172,7 +202,8 @@ class HostScheduledDecoder:
             return self._step_force(params, tok, vpos, cache, state,
                                     force_n_keep=n_keep)
         bucket = self._bucket_for(sched.length)
-        out = self._step_off(bucket)(params, tok, vpos, cache, state)
+        db = self._dec_bucket_for(sched.dec_len) if self._quest else None
+        out = self._step_off(bucket, db)(params, tok, vpos, cache, state)
         if self._ring:
             sched.ring_fill += 1
         return out

@@ -60,12 +60,6 @@ class ServingEngine:
             raise ValueError(
                 "serving supports per-request metrics none/fixed/linear/"
                 "jump; h2o/slm/pyramidinfer have no per-row gating")
-        if (comp.method == "quest"
-                and comp.decoding_metric not in ("none", "fixed")):
-            raise ValueError(
-                "quest in serving supports none/fixed decode metrics "
-                "(stateless per-row gates); linear/jump counters are "
-                "stream-global in quest's decode path")
         self.spec, self.comp, self.ecfg = spec, comp, ecfg
         self.params = params
         self.max_slots = max_slots
@@ -108,13 +102,18 @@ class ServingEngine:
                                 kv_dtype=ecfg.kv_dtype,
                                 with_pages=(comp.method == "quest"),
                                 num_pages=st.capacity // comp.chunk_size,
-                                ring=(ecfg.decode_ring if self._host_mode
-                                      else 0))
-        # Tensor-parallel serving: weights and the slot cache shard over
-        # the mesh (heads on 'model'; slots replicate on a 1-wide 'data'
-        # axis so admission row-writes stay local).  Every jitted program
-        # below auto-partitions from these input shardings; the host-side
-        # engine logic is sharding-oblivious.
+                                ring=(ecfg.decode_ring
+                                      if self._host_mode
+                                      and comp.method != "quest" else 0))
+        # Distributed serving: weights shard over the mesh's 'model'
+        # axis (heads) and the slot pool over 'data' (the cache batch
+        # dim), so a 2x4 mesh holds each slot's KV on one data shard and
+        # splits its heads across 4 chips.  Every jitted program below
+        # auto-partitions from these input shardings; the host-side
+        # engine logic is sharding-oblivious (admission row writes are
+        # partitioned by XLA onto the owning data shard).  Token-identical
+        # to the single-device engine: tests/test_sharding.py
+        # test_dp_tp_serving_matches_unsharded.
         self.mesh = mesh
         if mesh is not None:
             from scope_tpu.parallel.sharding import (shard_cache,
@@ -126,7 +125,8 @@ class ServingEngine:
         # step, so the fill count is global.  Flushes happen before any
         # fire, before admissions (a fresh row must not see another
         # request's staged slots), and when the ring fills.
-        self._ring = ecfg.decode_ring if self._host_mode else 0
+        self._ring = (ecfg.decode_ring if self._host_mode
+                      and comp.method != "quest" else 0)
         self._ring_fill = 0
         self._flush_fn = None
         # Per-slot counters: each slot is an independent request stream
@@ -320,15 +320,28 @@ class ServingEngine:
     # ------------------------------------------------------------------
     def _host_decode(self, tok, vpos):
         """Dispatch one step via the per-slot host schedule mirrors."""
+        quest = self._hdec._quest
+        L = self.spec.num_layers
         fire = False
-        n_keep = np.zeros(self.max_slots, np.int32)
-        gate = np.zeros(self.max_slots, bool)
-        needed = 1
+        # Quest plans carry per-LAYER fire masks (wave spans two steps,
+        # host_sched.QuestHostScheduler) -> [L, B] gates; the uniform
+        # methods gate per row -> [B].
+        n_keep = np.zeros((L, self.max_slots) if quest else self.max_slots,
+                          np.int32)
+        gate = np.zeros(n_keep.shape, bool)
+        needed, dec_needed = 1, 1
         for slot, s in enumerate(self.slots):
             if not s.active:
                 continue
             plan = self._slot_scheds[slot].plan_step()
-            if plan.fire:
+            if quest:
+                if plan.fire_any:
+                    fire = True
+                    gate[:, slot] = plan.fire
+                    n_keep[:, slot] = plan.n_keep
+                dec_needed = max(dec_needed,
+                                 self._slot_scheds[slot].dec_len)
+            elif plan.fire:
                 fire = True
                 gate[slot] = True
                 n_keep[slot] = plan.n_keep
@@ -342,7 +355,8 @@ class ServingEngine:
                 force_n_keep=jnp.asarray(n_keep),
                 force_row_gate=jnp.asarray(gate))
         bucket = self._hdec._bucket_for(needed)
-        out = self._hdec._step_off(bucket)(
+        db = self._hdec._dec_bucket_for(dec_needed) if quest else None
+        out = self._hdec._step_off(bucket, db)(
             self.params, tok, vpos, self.cache, self.state)
         if self._ring:
             self._ring_fill += 1
@@ -420,8 +434,14 @@ class ServingEngine:
             needed = max(self._slot_scheds[i].length + n
                          for i, s in enumerate(self.slots) if s.active)
             bucket = self._hdec._bucket_for(needed)
+            db = None
+            if self._hdec._quest:
+                db = self._hdec._dec_bucket_for(
+                    max(self._slot_scheds[i].dec_len + n
+                        for i, s in enumerate(self.slots) if s.active))
             toks_dev, self.cache, self.state = self._hdec._step_chunk(
-                bucket, n)(self.params, tok, vpos, self.cache, self.state)
+                bucket, n, db)(self.params, tok, vpos, self.cache,
+                               self.state)
             for i, s in enumerate(self.slots):
                 if s.active:
                     self._slot_scheds[i].advance_hot(n)

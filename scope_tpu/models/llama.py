@@ -279,10 +279,17 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 force_n_keep: Optional[jnp.ndarray] = None,
                 force_row_gate: Optional[jnp.ndarray] = None,
                 attn_cap: Optional[int] = None,
-                layer_uniform_lengths: bool = True
+                layer_uniform_lengths: bool = True,
+                quest_dec_cap: Optional[int] = None
                 ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
     """One decode step.  token: [B] int32 (the token being fed); vpos: [B]
     its virtual position (true_len + step).  Returns next-token logits.
+
+    quest_dec_cap (static): host-bucketed view width for quest's decode
+    region (it grows from 0, so early steps need not attend the full
+    max_new_tokens-wide slice); None = the full region.  attn_cap bounds
+    quest's dense-layer full-cache view the same way it buckets the other
+    methods' attention.
 
     compress_mode (static): "cond" = device-side gates via lax.cond (the
     self-contained path used by generate_scan); "off" = no compression
@@ -418,12 +425,23 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
 
         if quest:
             from scope_tpu.compression.quest import quest_decode_stacked
+            fg = fk = None
+            if compress_mode == "force":
+                fg = (jnp.ones((B,), bool) if force_row_gate is None
+                      else (force_row_gate[l]
+                            if force_row_gate.ndim == 2 else force_row_gate))
+                fk = (force_n_keep[l] if force_n_keep.ndim == 2
+                      else force_n_keep)
             out, ck_all, cv_all, len_all, state = quest_decode_stacked(
                 comp, st.caps, state, q, ck_all, cv_all, len_all, l,
                 cache.prompt_len, cache.page_min, cache.page_max, L,
-                dec_cap=ecfg.max_new_tokens + 1,
+                dec_cap=min(quest_dec_cap or ecfg.max_new_tokens + 1,
+                            ecfg.max_new_tokens + 1),
                 softmax_f32=ecfg.softmax_f32,
-                groups=1 if comp.evict_per_qhead else G)
+                groups=1 if comp.evict_per_qhead else G,
+                compress_mode=compress_mode, force_row_gate=fg,
+                force_n_keep=fk,
+                tot_cap=attn_cap or 0)
             if int8_kv or int4_kv:
                 # Quest computed attention on quantized values with the K
                 # scale already folded into q; fold the V scale (and
@@ -598,7 +616,8 @@ def decode_steps(spec: ModelSpec, comp: CompressionConfig,
                  ecfg: EngineConfig, params: Params, token: jnp.ndarray,
                  vpos: jnp.ndarray, cache: KVCache, state: SchedState,
                  n_steps: int, attn_cap: Optional[int] = None,
-                 layer_uniform_lengths: bool = True
+                 layer_uniform_lengths: bool = True,
+                 quest_dec_cap: Optional[int] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache, SchedState]:
     """Run ``n_steps`` greedy HOT decode steps in ONE jitted program.
 
@@ -621,7 +640,8 @@ def decode_steps(spec: ModelSpec, comp: CompressionConfig,
         logits, cache, state = decode_step(
             spec, comp, ecfg, params, tok, vp, cache, state,
             compress_mode="off", attn_cap=attn_cap,
-            layer_uniform_lengths=layer_uniform_lengths)
+            layer_uniform_lengths=layer_uniform_lengths,
+            quest_dec_cap=quest_dec_cap)
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         return (nxt, vp + 1, cache, state), nxt
 

@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--batch", type=int, default=192)
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--ring", type=int, default=0)
+    ap.add_argument("--only", type=str, default="")
     args = ap.parse_args()
 
     import jax
@@ -83,12 +84,13 @@ def main():
         # Build arrays directly — init_cache's zero buffers + the randint
         # outputs coexisting is itself enough to OOM HBM at these shapes.
         from scope_tpu.cache import KVCache
-        # randint over the full cache shape materializes 4x its size in
-        # uint32 random bits (OOM); generate one layer and tile.
-        one = jax.jit(lambda k: jnp.tile(jax.random.randint(
-            k, (1, B, Hc, cap, D), -127, 127, jnp.int8), (L, 1, 1, 1, 1)))
-        kk = one(key)
-        vv = one(jax.random.key(2))
+        # Zeros-filled: jnp.tile/randint outputs get 2x-PADDED layouts at
+        # D=64 (measured: probe dumps showed s8[..,64] at 2.0x expansion)
+        # while jnp.zeros buffers read at unpadded speed
+        # (scripts/probe_layout.py).  Gather/DUS timing is value-
+        # independent; top_k on uniform scores is measured separately.
+        kk = jnp.zeros((L, B, Hc, cap, D), jnp.int8)
+        vv = jnp.zeros((L, B, Hc, cap, D), jnp.int8)
         sshape = (L, B, Hc, D)
         return KVCache(
             k=kk, v=vv,
@@ -169,6 +171,49 @@ def main():
                 + vblk[..., 0, 0].astype(jnp.int32).sum()
         return tot
 
+    @jax.jit
+    def gather_k_only(ck):
+        tot = jnp.zeros((), jnp.int32)
+        for l in range(L):
+            kblk = jnp.take_along_axis(ck[l], src0[..., None], axis=2)
+            tot = tot + kblk[..., 0, 0].astype(jnp.int32).sum()
+        return tot
+
+    @jax.jit
+    def gather_bf16(ck):
+        tot = jnp.zeros((), jnp.float32)
+        for l in range(L):
+            kb = ck[l].astype(jnp.bfloat16)
+            kblk = jnp.take_along_axis(kb, src0[..., None], axis=2)
+            tot = tot + kblk[..., 0, 0].astype(jnp.float32).sum()
+        return tot
+
+    src_row = src0[:, :1]                       # per-ROW shared indices
+
+    @jax.jit
+    def gather_rowshared(ck):
+        tot = jnp.zeros((), jnp.int32)
+        for l in range(L):
+            kblk = jnp.take_along_axis(
+                ck[l], jnp.broadcast_to(src_row, (B, Hc, blkW))[..., None],
+                axis=2)
+            tot = tot + kblk[..., 0, 0].astype(jnp.int32).sum()
+        return tot
+
+    @jax.jit
+    def gather_onehot(ck):
+        # dest = onehot(src) @ cache as an MXU dot, chunked over blkW.
+        tot = jnp.zeros((), jnp.float32)
+        CH = 128
+        for l in range(L):
+            kb = ck[l].astype(jnp.bfloat16)
+            for c0 in range(0, blkW, CH):
+                oh = jax.nn.one_hot(src0[:, :, c0:c0 + CH], cap,
+                                    dtype=jnp.bfloat16)     # [B,H,CH,S]
+                blk = jnp.einsum("bhcs,bhsd->bhcd", oh, kb)
+                tot = tot + blk[..., 0, 0].astype(jnp.float32).sum()
+        return tot
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def dus_only(ck, cv, kblk, vblk):
         for l in range(L):
@@ -188,27 +233,42 @@ def main():
         return ck, cv
 
     c = fresh_cache()
-    timeit("probs (L layers)", probs_only, c.k)
-    timeit("probs+topk", topk_only, c.k)
-    timeit("probs+approx_max_k", approx_only, c.k)
-    timeit("gather block", gather_only, c.k, c.v)
+    sections = (args.only.split(",") if args.only else
+                ["probs", "topk", "approx", "gathers", "dus", "steps"])
+    if "probs" in sections:
+        timeit("probs (L layers)", probs_only, c.k)
+    if "topk" in sections:
+        timeit("probs+topk", topk_only, c.k)
+    if "approx" in sections:
+        timeit("probs+approx_max_k", approx_only, c.k)
+    if "gathers" in sections:
+        timeit("gather k (int8)", gather_k_only, c.k)
+        timeit("gather k+v (int8)", gather_only, c.k, c.v)
+        timeit("gather k (bf16 convert)", gather_bf16, c.k)
+        timeit("gather k (row-shared idx)", gather_rowshared, c.k)
+        timeit("gather k (one-hot MXU)", gather_onehot, c.k)
+    if "dus" not in sections and "steps" not in sections:
+        return
 
     kblk = jax.random.randint(key, (B, Hc, blkW, D), -127, 127, jnp.int8)
     vblk = kblk
 
-    def run_dus():
-        nonlocal c
-        ck, cv = dus_only(c.k, c.v, kblk, vblk)
-        c = c.replace(k=ck, v=cv)
-        return ck[0, 0, 0, 0]
-    timeit("dus writeback (donated)", run_dus, reps=4)
+    if "dus" in sections:
+        def run_dus():
+            nonlocal c
+            ck, cv = dus_only(c.k, c.v, kblk, vblk)
+            c = c.replace(k=ck, v=cv)
+            return ck[0, 0, 0, 0]
+        timeit("dus writeback (donated)", run_dus, reps=4)
 
-    def run_gather_dus():
-        nonlocal c
-        ck, cv = gather_dus(c.k, c.v)
-        c = c.replace(k=ck, v=cv)
-        return ck[0, 0, 0, 0]
-    timeit("gather+dus (donated)", run_gather_dus, reps=4)
+        def run_gather_dus():
+            nonlocal c
+            ck, cv = gather_dus(c.k, c.v)
+            c = c.replace(k=ck, v=cv)
+            return ck[0, 0, 0, 0]
+        timeit("gather+dus (donated)", run_gather_dus, reps=4)
+    if "steps" not in sections:
+        return
 
     # --- real step programs
     tok = jnp.zeros((B,), jnp.int32)

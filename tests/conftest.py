@@ -51,6 +51,9 @@ _SLOW = {
     ("test_headwise", "test_headwise_with_decode_compression"),
     ("test_edge_numerics", "test_llama3_rope_scaling_matches_hf"),
     ("test_quest", "test_int8_quest_decode_close_to_fp"),
+    ("test_quest_host", "test_quest_host_equals_device"),
+    ("test_quest_host", "test_quest_chunked_equals_per_step"),
+    ("test_serving", "test_serving_quest_chunked_dispatch_matches"),
     ("test_sampling", "test_serving_per_request_sampling"),
 }
 

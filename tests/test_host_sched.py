@@ -255,7 +255,9 @@ def test_hot_run_length_peek_restores():
 
 
 def test_not_host_schedulable():
-    comp = CompressionConfig(method="quest", decoding_metric="fixed",
+    # headwise keeps device-side gates (per-head budgets + no length
+    # mirror); quest is host-schedulable since round 3 (test_quest_host).
+    comp = CompressionConfig(method="headwise", decoding_metric="fixed",
                              max_capacity_prompt=64, window_size=8,
                              decoding_window_size=32,
                              decoding_recent_size=16, delta=3)

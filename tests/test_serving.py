@@ -301,10 +301,12 @@ def test_serving_pipeline_depths_match(depth):
                                       np.array(res_p[rp]))
 
 
-@pytest.mark.parametrize("metric", ["none", "fixed"])
+@pytest.mark.parametrize("metric", ["none", "fixed", "linear", "jump"])
 def test_serving_quest_matches_single_stream(metric):
     """Quest through serving: page metadata follows row inserts; tokens
-    match dedicated single-stream generation across slot reuse."""
+    match dedicated single-stream generation across slot reuse.
+    linear/jump run per-slot QuestHostScheduler mirrors (each slot fires
+    on its own request-local counters, matching a dedicated stream)."""
     comp = CompressionConfig(method="quest", decoding_metric=metric,
                              max_capacity_prompt=64, window_size=8,
                              decoding_window_size=32,
@@ -330,11 +332,25 @@ def test_serving_quest_matches_single_stream(metric):
                                       np.array(results[rid]))
 
 
-def test_serving_quest_rejects_global_counter_metrics():
+def test_serving_quest_chunked_dispatch_matches():
+    """Quest + jump with multi-step hot chunks: identical tokens."""
     comp = CompressionConfig(method="quest", decoding_metric="jump",
                              max_capacity_prompt=64, window_size=8,
                              decoding_window_size=32,
-                             decoding_recent_size=16, delta=3)
+                             decoding_recent_size=16, delta=3,
+                             chunk_size=8, quest_skip_layers=1)
     params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
-    with pytest.raises(ValueError):
-        ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
+    rng = np.random.default_rng(29)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 90)]
+    eng = ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
+    ids = [eng.submit(p, 16) for p in prompts]
+    base = eng.run()
+    eng2 = ServingEngine(TINY_LLAMA, comp,
+                         ECFG.replace(decode_chunk_sizes=(4, 2)), params,
+                         max_slots=2)
+    ids2 = [eng2.submit(p, 16) for p in prompts]
+    chunked = eng2.run()
+    for rid, rid2 in zip(ids, ids2):
+        np.testing.assert_array_equal(np.array(base[rid]),
+                                      np.array(chunked[rid2]))

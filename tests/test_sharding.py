@@ -171,3 +171,34 @@ def test_sharded_serving_matches_unsharded():
     for rr, rt in zip(ids_ref, ids_tp):
         np.testing.assert_array_equal(np.array(res_ref[rr]),
                                       np.array(res_tp[rt]))
+
+
+def test_dp_tp_serving_matches_unsharded():
+    """ServingEngine over a 2x4 DP x TP mesh: the slot pool (cache batch
+    dim) shards over 'data' and heads over 'model'; admissions write into
+    data-sharded rows.  Tokens identical to the single-device engine."""
+    import dataclasses
+    from scope_tpu.engine.serving import ServingEngine
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=2, n_model=4)
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="jump", max_capacity_prompt=64,
+        window_size=8, decoding_window_size=32, decoding_recent_size=16,
+        delta=3)
+    params = llama.init_params(SPEC8, jax.random.key(3), jnp.float32)
+    rng = np.random.default_rng(19)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120, 90, 88, 105)]
+
+    def run(mesh_):
+        eng = ServingEngine(SPEC8, comp, ECFG, params, max_slots=4,
+                            mesh=mesh_)
+        ids = [eng.submit(p, 12) for p in prompts]
+        return ids, eng.run()
+
+    ids_ref, res_ref = run(None)
+    ids_dp, res_dp = run(mesh)
+    for rr, rd in zip(ids_ref, ids_dp):
+        np.testing.assert_array_equal(np.array(res_ref[rr]),
+                                      np.array(res_dp[rd]))
