@@ -67,7 +67,8 @@ def build_state(spec, comp, ecfg, params, prompt_len, batch=1,
                 page_min=t(c.page_min), page_max=t(c.page_max),
                 k_scale=t(c.k_scale), v_scale=t(c.v_scale),
                 k_off=t(c.k_off), v_off=t(c.v_off),
-                ring_k=t(c.ring_k), ring_v=t(c.ring_v))
+                ring_k=t(c.ring_k), ring_v=t(c.ring_v),
+                alive=t(c.alive))
 
         cache = tile_cache(cache)
         logits = jnp.concatenate([logits] * reps, 0)[:batch]
@@ -225,7 +226,7 @@ def run_pair(spec, params, batch, prompt_len=2048):
 
 def run_scope_only(spec, params, batch, prompt_len=2048,
                    kv_dtype="bfloat16", evict_per_qhead=True,
-                   weights_int8=False, ring=0, chunks=()):
+                   weights_int8=False, ring=0, chunks=(), lazy=0):
     from scope_tpu.config import CompressionConfig, EngineConfig
 
     comp = CompressionConfig(
@@ -236,14 +237,15 @@ def run_scope_only(spec, params, batch, prompt_len=2048,
     ecfg = EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
                         dtype="bfloat16", uniform_lengths=True,
                         kv_dtype=kv_dtype, decode_ring=ring,
-                        decode_chunk_sizes=tuple(chunks))
+                        decode_chunk_sizes=tuple(chunks),
+                        lazy_evict=bool(lazy), lazy_slack=lazy or 256)
     if weights_int8:
         from scope_tpu.ops import quant
         params = quant.quantize_layer_weights(params)
     tps = measure_decode(spec, comp, ecfg, params, prompt_len, batch=batch)
     log(f"[batch={batch} kv={kv_dtype} qhead={evict_per_qhead} "
-        f"w8={weights_int8} ring={ring} chunks={tuple(chunks)}] "
-        f"scope decode: {tps:.1f} tok/s")
+        f"w8={weights_int8} ring={ring} chunks={tuple(chunks)} "
+        f"lazy={lazy}] scope decode: {tps:.1f} tok/s")
     return tps
 
 

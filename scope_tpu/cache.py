@@ -68,6 +68,12 @@ class KVCache:
     ring_fill: Optional[jnp.ndarray] = None    # [] int32, uniform for all
     #                                            rows/layers (every row
     #                                            appends every step)
+    # Lazy eviction (EngineConfig.lazy_evict): slots [0, length) hold the
+    # appended tokens in order, but only slots with alive=True are live —
+    # fires tombstone instead of rewriting (eviction is permanent, so a
+    # dead slot never resurrects between compactions).  compact_lazy
+    # reclaims dead slots every ~lazy_slack steps.  None = eager mode.
+    alive: Optional[jnp.ndarray] = None        # [L, B, H, S_max] bool
 
     @property
     def num_layers(self):
@@ -81,7 +87,8 @@ class KVCache:
 def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
                head_dim: int, dtype, prefill_gap: int = 0,
                with_pages: bool = False, num_pages: int = 0,
-               kv_dtype: str = "", ring: int = 0) -> KVCache:
+               kv_dtype: str = "", ring: int = 0,
+               lazy: bool = False) -> KVCache:
     int8 = kv_dtype == "int8"
     int4 = kv_dtype == "int4"
     store = jnp.int8 if int8 else (jnp.uint8 if int4 else dtype)
@@ -112,7 +119,47 @@ def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
         ring_k=jnp.zeros(rshape, store) if ring else None,
         ring_v=jnp.zeros(rshape, store) if ring else None,
         ring_fill=jnp.zeros((), jnp.int32) if ring else None,
+        alive=(jnp.ones((num_layers, batch, num_heads, capacity), bool)
+               if lazy else None),
     )
+
+
+def compact_lazy(cache: KVCache, gap: int) -> KVCache:
+    """Reclaim tombstoned slots: move live slots of [gap, cap) to the
+    front of that region, preserving append order.
+
+    gap is the static start of the evictable region (the prefill budget P
+    for the budgeted methods; 0 for allkv, whose prefill segment is fully
+    alive so the permutation is the identity there).  Each fire keeps the
+    same count per head, so post-compaction lengths are head-uniform and
+    ``length`` becomes gap + live-count.  The expensive gather (latency-
+    bound row DMA) runs HERE, once per ~lazy_slack steps, instead of on
+    every fire."""
+    k, v, alive = cache.k, cache.v, cache.alive
+    L, B, H, cap, D = k.shape
+    W = cap - gap
+    idx = jnp.arange(W, dtype=jnp.int32)
+    ks, vs, lns = [], [], []
+    for l in range(L):
+        a = alive[l, :, :, gap:]                           # [B,H,W]
+        # Stable order-preserving ranks: dead slots sink past W.
+        key = jnp.where(a, idx[None, None, :], W + idx[None, None, :])
+        perm = jnp.argsort(key, axis=-1)                   # [B,H,W]
+        kblk = jnp.take_along_axis(k[l, :, :, gap:], perm[..., None],
+                                   axis=2)
+        vblk = jnp.take_along_axis(v[l, :, :, gap:], perm[..., None],
+                                   axis=2)
+        cnt = a.sum(axis=-1).astype(jnp.int32)             # [B,H]
+        ks.append(kblk)
+        vs.append(vblk)
+        # Fire keep-counts are head-uniform; head 0 is authoritative.
+        lns.append(gap + cnt[:, 0])
+    k = lax.dynamic_update_slice(k, jnp.stack(ks), (0, 0, 0, gap, 0))
+    v = lax.dynamic_update_slice(v, jnp.stack(vs), (0, 0, 0, gap, 0))
+    # All slots reset alive: [new_len, old_len) hold stale rows masked by
+    # the shrunk length, and future appends overwrite them in order.
+    return cache.replace(k=k, v=v, alive=jnp.ones_like(alive),
+                         length=jnp.stack(lns))
 
 
 def flush_ring(cache: KVCache, uniform_rows: bool,

@@ -38,6 +38,10 @@ def host_schedulable(comp: CompressionConfig) -> bool:
     layers never compress and never advance the counters,
     kv_utils.py:1277-1278, so jump waves span two steps) via
     :class:`QuestHostScheduler`."""
+    if comp.mistral_window_parity:
+        # The per-step positional window slicing mutates lengths in a way
+        # the host mirror does not model; parity runs use the device path.
+        return False
     return (comp.method in ("fullkv", "allkv", "h2o", "snapkv",
                             "streamingllm", "quest")
             and comp.decoding_metric in ("none", "fixed", "linear", "jump"))
@@ -48,6 +52,7 @@ def host_schedulable_layered(comp: CompressionConfig) -> bool:
     steps) differ per layer, but they are still deterministic — the host
     mirrors L length streams and dispatches per-layer fire masks."""
     return (comp.method == "pyramidkv"
+            and not comp.mistral_window_parity
             and comp.decoding_metric in ("none", "fixed", "linear",
                                          "jump"))
 
@@ -101,7 +106,8 @@ class HostScheduler:
     lengths mirror the device cache length bookkeeping."""
 
     def __init__(self, comp: CompressionConfig, num_layers: int,
-                 prompt_len: int, prefill_kept: int, keep_cap: int):
+                 prompt_len: int, prefill_kept: int, keep_cap: int,
+                 lazy: bool = False, capacity: int = 0):
         self.comp = comp
         self.L = num_layers
         self.metric = comp.decoding_metric
@@ -110,7 +116,12 @@ class HostScheduler:
             self.pseg = prompt_len
         else:
             self.pseg = comp.max_capacity_prompt
-        self.length = prefill_kept        # virtual cache length
+        self.length = prefill_kept        # LIVE cache length (gates)
+        # Physical fill pointer: equals `length` in eager mode; with lazy
+        # eviction it only grows (+1 per append) until compact_lazy.
+        self.phys = prefill_kept
+        self.lazy = lazy
+        self.capacity = capacity
         self.keep_cap = keep_cap
         self.step_counter = 0             # current_decoding_step
         self.jump_step = 0
@@ -123,6 +134,7 @@ class HostScheduler:
         counted (gates see the appended length, llama_model.py:593)."""
         comp = self.comp
         self.length += 1                  # the appended token
+        self.phys += 1
         m = self.metric
         if m == "none" or comp.method == "fullkv":
             return StepPlan(fire=False)
@@ -162,15 +174,28 @@ class HostScheduler:
         n_keep = max(0, min(w_t - r, self.keep_cap,
                             self.length - r - self.pseg))
         self.length = self.pseg + n_keep + r
+        if not self.lazy:
+            self.phys = self.length       # eager fires compact in place
         return StepPlan(fire=True, n_keep=n_keep, w_t=w_t)
+
+    # -- lazy compaction -------------------------------------------------
+    def needs_compact(self, headroom: int = 1) -> bool:
+        """True when the physical fill pointer is about to overflow —
+        the host must dispatch cache.compact_lazy before the next
+        ``headroom`` appends."""
+        return self.lazy and self.phys + headroom >= self.capacity
+
+    def compacted(self):
+        """Mirror a compact_lazy dispatch: physical == live."""
+        self.phys = self.length
 
     # -- chunk planning ------------------------------------------------
     def _snapshot(self):
-        return (self.length, self.step_counter, self.jump_step,
+        return (self.length, self.phys, self.step_counter, self.jump_step,
                 self.jump_layer)
 
     def _restore(self, snap):
-        (self.length, self.step_counter, self.jump_step,
+        (self.length, self.phys, self.step_counter, self.jump_step,
          self.jump_layer) = snap
 
     def hot_run_length(self, max_n: int) -> int:
@@ -180,6 +205,8 @@ class HostScheduler:
         state and restoring it — the caller can then dispatch one multi-
         step hot program covering that run (models/llama.py decode_steps)
         and advance the mirror with ``advance_hot(n)``."""
+        if self.lazy:
+            max_n = min(max_n, max(self.capacity - 1 - self.phys, 0))
         snap = self._snapshot()
         n = 0
         while n < max_n and not self.plan_step().fire:

@@ -108,6 +108,15 @@ class CompressionConfig:
     # (repeat_kv before cache update, llama_model.py:159-160); False evicts
     # per KV head (memory-correct mode, cache is num_kv_heads wide).
     evict_per_qhead: bool = True
+    # Reproduce the reference's Mistral decode-phase sliding-window cache
+    # slicing for COMPRESSED methods (mistral_model.py:246-269): once the
+    # virtual length exceeds the window, each step physically keeps only
+    # the last window-1 slots of the (possibly compressed) cache before
+    # appending.  Post-compression slots hold arbitrary original
+    # positions, so this is positional-in-slot-space only — the
+    # reference's admittedly degraded semantics, off by default (see
+    # models/mistral.py for the rationale).  Device-scheduled path only.
+    mistral_window_parity: bool = False
 
     def __post_init__(self):
         if self.method not in PREFILL_METHODS:
@@ -186,6 +195,22 @@ class EngineConfig:
     # chunking pays it once per chunk.  Sizes are tried largest-first;
     # empty tuple = per-step dispatch (reference-style per-token timing).
     decode_chunk_sizes: Tuple[int, ...] = ()
+    # Lazy eviction (host-scheduled methods only).  Compression fires
+    # normally REWRITE the cache: top-k + a take_along_axis gather + a
+    # block write-back.  On this hardware the gather is latency-bound row
+    # DMA (~4 GB/s effective — scripts/probe_gather.py: 106ms for 16
+    # layers at b96 whether or not indices are sorted), making each jump
+    # wave cost ~675ms at b192 (~40% of steady-state).  With lazy_evict,
+    # a fire only updates a per-slot ALIVE mask (~25ms: kill the scored
+    # region, scatter the top-k back in) — evictions are permanent, so
+    # tombstoning is semantically identical; attention masks dead slots
+    # (same logit multiset => same probabilities).  Physical slots are
+    # reclaimed by an amortized compaction pass every ~lazy_slack steps.
+    lazy_evict: bool = False
+    # Extra physical slots between compactions (the compaction period):
+    # larger = rarer (amortized-cheaper) compaction but more HBM and a
+    # wider masked attention window.
+    lazy_slack: int = 256
     # Staging-ring size R (0 = off).  Hot host-scheduled steps write the
     # per-step token into a small [L,B,H,R,D] ring instead of the big
     # cache buffers — a big-buffer update costs a near-full-buffer copy
@@ -241,6 +266,8 @@ class EngineConfig:
             return _round_up(max(base, max_num + W) + r + 2, 128)
         w_final = self.decode_budget_cap(comp) + r
         slack = comp.delta + 2  # jump-wave overshoot + append slot
+        if self.lazy_evict:
+            slack += self.lazy_slack   # tombstoned slots await compaction
         return _round_up(base + w_final + slack, 128)
 
     def decode_budget_cap(self, comp: CompressionConfig) -> int:

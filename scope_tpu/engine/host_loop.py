@@ -69,6 +69,29 @@ class HostScheduledDecoder:
         # Quest appends per layer inside its own path and never stages.
         self._ring = 0 if self._quest else ecfg.decode_ring
         self._flush_fns = {}
+        # Lazy eviction: fires tombstone (decode_step's alive path); the
+        # host dispatches cache.compact_lazy when phys slots run out.
+        self._lazy = ecfg.lazy_evict and comp.decoding_metric != "none"
+        if self._lazy and (self._layered or self._quest):
+            raise ValueError("lazy_evict supports the layer-uniform "
+                             "methods (h2o/snapkv/streamingllm/allkv)")
+        self._compact_fn = None
+        self._compact_gap = (0 if comp.method in ("allkv", "fullkv")
+                             else comp.max_capacity_prompt)
+
+    def _get_compact_fn(self):
+        from scope_tpu.cache import compact_lazy
+        if self._compact_fn is None:
+            self._compact_fn = jax.jit(
+                partial(compact_lazy, gap=self._compact_gap),
+                donate_argnums=(0,))
+        return self._compact_fn
+
+    def compact(self, sched, cache):
+        """Dispatch the amortized lazy compaction; mirror it on the host."""
+        cache = self._get_compact_fn()(cache)
+        sched.compacted()
+        return cache
 
     def flush(self, sched, cache, batch: int):
         """Flush staged ring tokens into the big cache (no-op when
@@ -126,6 +149,10 @@ class HostScheduledDecoder:
         runs into one program (ecfg.decode_chunk_sizes; empty = always
         per-step).  Returns (tokens [B, k] device array, cache, state);
         the LAST column is the next step's input token."""
+        if self._lazy and sched.needs_compact(
+                headroom=1 + sched.ring_fill):
+            cache = self.flush(sched, cache, tok.shape[0])
+            cache = self.compact(sched, cache)
         sizes = tuple(s for s in sorted(self.ecfg.decode_chunk_sizes,
                                         reverse=True) if s > 1)
         if sizes:
@@ -136,7 +163,8 @@ class HostScheduledDecoder:
                 run = min(run, self._ring - sched.ring_fill)
             for n in sizes:
                 if n <= run:
-                    bucket = self._bucket_for(sched.length + n)
+                    bucket = self._bucket_for(
+                        getattr(sched, "phys", sched.length) + n)
                     db = self._dec_bucket_for(sched.dec_len + n) \
                         if self._quest else None
                     toks, cache, state = self._step_chunk(bucket, n, db)(
@@ -174,9 +202,14 @@ class HostScheduledDecoder:
         else:
             kept = min(comp.max_capacity_prompt, prompt_len)
         return HostScheduler(comp, self.spec.num_layers, prompt_len, kept,
-                             self._keep_cap)
+                             self._keep_cap, lazy=self._lazy,
+                             capacity=self._capacity)
 
     def step(self, sched, params, tok, vpos, cache, state):
+        if self._lazy and sched.needs_compact(
+                headroom=1 + sched.ring_fill):
+            cache = self.flush(sched, cache, tok.shape[0])
+            cache = self.compact(sched, cache)
         plan = sched.plan_step()
         B = tok.shape[0]
         layered = self._layered or self._quest
@@ -201,7 +234,7 @@ class HostScheduledDecoder:
             n_keep = jnp.full((B,), plan.n_keep, jnp.int32)
             return self._step_force(params, tok, vpos, cache, state,
                                     force_n_keep=n_keep)
-        bucket = self._bucket_for(sched.length)
+        bucket = self._bucket_for(getattr(sched, "phys", sched.length))
         db = self._dec_bucket_for(sched.dec_len) if self._quest else None
         out = self._step_off(bucket, db)(params, tok, vpos, cache, state)
         if self._ring:

@@ -104,7 +104,9 @@ class ServingEngine:
                                 num_pages=st.capacity // comp.chunk_size,
                                 ring=(ecfg.decode_ring
                                       if self._host_mode
-                                      and comp.method != "quest" else 0))
+                                      and comp.method != "quest" else 0),
+                                lazy=(self._host_mode
+                                      and self._hdec._lazy))
         # Distributed serving: weights shard over the mesh's 'model'
         # axis (heads) and the slot pool over 'data' (the cache batch
         # dim), so a 2x4 mesh holds each slot's KV on one data shard and
@@ -231,6 +233,8 @@ class ServingEngine:
             k=put(c.k, r.k), v=put(c.v, r.v),
             length=c.length.at[:, slot].set(r.length[:, 0]),
             pvalid=c.pvalid.at[:, slot].set(r.pvalid[:, 0]),
+            alive=(c.alive.at[:, slot].set(True)
+                   if c.alive is not None else None),
             prompt_len=c.prompt_len.at[slot].set(prompt_len),
             k_scale=(put(c.k_scale, r.k_scale)
                      if c.k_scale is not None else None),
@@ -318,8 +322,24 @@ class ServingEngine:
         s.request_id = -1
 
     # ------------------------------------------------------------------
+    def _compact_if_needed(self):
+        """Lazy eviction: one global compaction reclaims every slot's
+        tombstones when any slot's physical pointer nears capacity."""
+        if not (self._host_mode and self._hdec._lazy):
+            return
+        scheds = [sc for sc, s in zip(self._slot_scheds, self.slots)
+                  if s.active and sc is not None]
+        if not any(sc.needs_compact(headroom=1 + self._ring_fill)
+                   for sc in scheds):
+            return
+        self._flush_ring()
+        self.cache = self._hdec._get_compact_fn()(self.cache)
+        for sc in scheds:
+            sc.compacted()
+
     def _host_decode(self, tok, vpos):
         """Dispatch one step via the per-slot host schedule mirrors."""
+        self._compact_if_needed()
         quest = self._hdec._quest
         L = self.spec.num_layers
         fire = False
@@ -345,7 +365,8 @@ class ServingEngine:
                 fire = True
                 gate[slot] = True
                 n_keep[slot] = plan.n_keep
-            needed = max(needed, self._slot_scheds[slot].length)
+            needed = max(needed, getattr(self._slot_scheds[slot], "phys",
+                                         self._slot_scheds[slot].length))
         if self._ring and (fire or self._ring_fill >= self._ring):
             # Fires rewrite the contiguous cache; a full ring must drain.
             self._flush_ring()

@@ -256,6 +256,9 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
             ring_k=jnp.zeros(rshape, cks.dtype),
             ring_v=jnp.zeros(rshape, cvs.dtype),
             ring_fill=jnp.zeros((), jnp.int32))
+    if ecfg.lazy_evict and comp.decoding_metric != "none":
+        cache = cache.replace(alive=jnp.ones(
+            (L, B, st.cache_heads, st.capacity), bool))
     if comp.method == "quest":
         from scope_tpu.compression.quest import build_page_metadata
         cache = build_page_metadata(comp, cache, true_len)
@@ -327,8 +330,15 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     lp = params["layers"]
     quest = comp.method == "quest"
 
+    if (cache.alive is not None and compress_mode == "cond"
+            and comp.decoding_metric != "none"):
+        raise ValueError(
+            "lazy_evict caches need host scheduling (compress_mode "
+            "off/force) — the device-cond rewrite would bypass the "
+            "alive mask; use HostScheduledDecoder/ServingEngine")
     ck_all, cv_all = cache.k, cache.v
     len_all, pv_all = cache.length, cache.pvalid
+    alive_all = cache.alive
     b_idx = jnp.arange(B)[:, None]
     h_idx = jnp.arange(Hc)[None, :]
 
@@ -381,10 +391,36 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                  * ks_l[:, :, None, :].astype(q.dtype)
                  ).reshape(B, Hq, 1, D)
 
+        length = len_all[l]
+        if (comp.mistral_window_parity and spec.sliding_window
+                and comp.method not in ("fullkv", "allkv")
+                and not quest):
+            # Reference Mistral decode slicing (mistral_model.py:246-269):
+            # once the VIRTUAL length exceeds the window, keep only the
+            # last window-1 PHYSICAL slots before appending — positional
+            # in slot space, oblivious to what compression left there
+            # (the reproduced degraded semantics; see models/mistral.py).
+            Wsl = spec.sliding_window
+            gate = (vpos + 1) > Wsl                            # [B]
+            shift = jnp.where(gate,
+                              jnp.maximum(length - (Wsl - 1), 0), 0)
+            keepW = min(Wsl - 1, ck_all.shape[3])
+
+            def shift_row(c_l, s):
+                return lax.dynamic_slice_in_dim(c_l, s, keepW, axis=1)
+            kw = jax.vmap(shift_row)(ck_all[l], shift)  # [B,Hc,keepW,D]
+            vw = jax.vmap(shift_row)(cv_all[l], shift)
+            ck_all = lax.dynamic_update_slice(ck_all, kw[None],
+                                              (l, 0, 0, 0, 0))
+            cv_all = lax.dynamic_update_slice(cv_all, vw[None],
+                                              (l, 0, 0, 0, 0))
+            length = jnp.where(gate, jnp.minimum(length, Wsl - 1),
+                               length)
+            len_all = len_all.at[l].set(length)
+
         # In-place append at (l, b, :, length[b], :) on the stacked buffer.
         # B==1 fast path: one dynamic_update_slice (a general scatter is
         # slow on TPU); multi-row batches fall back to scatter.
-        length = len_all[l]
         if defer_append:
             staged.append((k, v))
         elif B == 1 or ecfg.uniform_lengths:
@@ -409,13 +445,19 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         backend = ecfg.resolve_attn_backend()
         use_fused = (ecfg.fused_decode_attention
                      and backend in ("pallas", "pallas_interpret")
-                     and not quest and not use_ring and not int4_kv)
+                     and not quest and not use_ring and not int4_kv
+                     and cache.alive is None)
         # Eviction scores are only consumed on steps that may compress;
         # hot host-scheduled steps skip materialising them entirely.
         need_probs = (comp.decoding_metric != "none"
                       and compress_mode != "off")
         if not use_fused:
             mask = slot_mask(length, pvalid, cache.prefill_gap, cap_eff)
+            if alive_all is not None:
+                # Lazy eviction: tombstoned slots attend as NEG_INF —
+                # the logit multiset equals the compacted cache's, so
+                # the probabilities (and eviction scores) are identical.
+                mask = mask & alive_all[l][:, :, :cap_eff]
             if win:
                 # Mistral sliding window; only meaningful while slot index
                 # == token position (see models/mistral.py).
@@ -510,6 +552,41 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     row_gate = force_row_gate
                 nk = (force_n_keep[l] if force_n_keep.ndim == 2
                       else force_n_keep)
+                if alive_all is not None:
+                    # LAZY fire: tombstone instead of rewriting.  Kill
+                    # the scored region, scatter the top-k back alive —
+                    # no gather, no big-buffer write-back (the row-DMA
+                    # gather costs ~675ms/fire at b192; the mask update
+                    # ~25ms — scripts/probe_gather.py).  Physical length
+                    # is untouched; the host mirrors the live count and
+                    # schedules cache.compact_lazy before slots run out.
+                    rr = comp.decoding_recent_size
+                    al = alive_all[l][:, :, :cap_eff]
+                    d_sl = jnp.arange(cap_eff, dtype=jnp.int32)
+                    region = ((d_sl[None, None, :] >= pseg[:, None, None])
+                              & (d_sl[None, None, :]
+                                 < (length - rr)[:, None, None])
+                              & row_gate[:, None, None])
+                    sc = jnp.where(region & al, probs, -jnp.inf)
+                    kc = min(st.caps.keep_cap, cap_eff)
+                    topk_idx = lax.top_k(sc, kc)[1]
+                    new_al = al & ~region
+                    jpos = jnp.arange(kc, dtype=jnp.int32)[None, None, :]
+                    live = (jpos < nk[:, None, None]) \
+                        & row_gate[:, None, None]
+                    idx = jnp.where(live, topk_idx, cap_eff)
+                    bb = jnp.broadcast_to(jnp.arange(B)[:, None, None],
+                                          idx.shape)
+                    hh = jnp.broadcast_to(jnp.arange(Hc)[None, :, None],
+                                          idx.shape)
+                    new_al = new_al.at[bb, hh, idx].set(True, mode="drop")
+                    alive_all = lax.dynamic_update_slice(
+                        alive_all, new_al[None], (l, 0, 0, 0))
+                    out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)
+                    x = x + wdot(out, p, "wo")
+                    h2 = rms_norm(x, p["ln_mlp"], spec.rms_norm_eps)
+                    x = x + mlp(h2, p)
+                    continue
                 src_blk, new_len = block_map(
                     comp, st.caps, probs, length, pseg, nk,
                     row_gate, False)
@@ -606,7 +683,8 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     cv_all, vs[:, b:b + 1], sb)
         len_all = len_all + 1
 
-    cache = cache.replace(k=ck_all, v=cv_all, length=len_all, pvalid=pv_all)
+    cache = cache.replace(k=ck_all, v=cv_all, length=len_all, pvalid=pv_all,
+                          alive=alive_all)
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     logits = _lm_logits(spec, params, x[:, 0])
     return logits, cache, state

@@ -113,6 +113,8 @@ def cache_pspecs(cache) -> Any:
         ring_v=(P(None, DATA_AXIS, MODEL_AXIS, None, None)
                 if cache.ring_v is not None else None),
         ring_fill=P() if cache.ring_fill is not None else None,
+        alive=(P(None, DATA_AXIS, MODEL_AXIS, None)
+               if cache.alive is not None else None),
     )
 
 
@@ -151,6 +153,7 @@ def shard_cache(cache, mesh: Mesh):
         ring_k=put(cache.ring_k, ps.ring_k),
         ring_v=put(cache.ring_v, ps.ring_v),
         ring_fill=put(cache.ring_fill, ps.ring_fill),
+        alive=put(cache.alive, ps.alive),
     )
 
 

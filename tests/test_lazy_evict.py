@@ -1,0 +1,157 @@
+"""Lazy (tombstone) eviction vs the eager rewrite path.
+
+Eviction is permanent in every SCOPE metric, so marking slots dead and
+masking them in attention is semantically identical to compacting the
+cache on each fire: the logit multiset is the same, hence the softmax
+probabilities, eviction scores, and kept-token SETS are the same.  The
+slot ORDER differs (lazy keeps append order; eager rewrites to
+[top-k-score order | recent]), which attention cannot observe.
+
+These tests pin that equivalence token-for-token on the tiny model, and
+exercise the amortized compaction (cache.compact_lazy) by forcing tiny
+lazy_slack so it fires mid-run.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from scope_tpu.config import CompressionConfig, EngineConfig
+from scope_tpu.engine.host_loop import HostScheduledDecoder
+from scope_tpu.models import llama
+from scope_tpu.models.registry import TINY_LLAMA
+
+STEPS = 44
+
+
+def comp_for(method, metric):
+    return CompressionConfig(
+        method=method, decoding_metric=metric, max_capacity_prompt=64,
+        window_size=32 if method == "streamingllm" else 8,
+        decoding_window_size=32, decoding_recent_size=16, delta=3)
+
+
+def host_run(comp, ecfg, params, toks, tl, steps, collect_live=False):
+    dec = HostScheduledDecoder(TINY_LLAMA, comp, ecfg)
+    logits, cache, state = jax.jit(
+        lambda p, t, l: llama.prefill(TINY_LLAMA, comp, ecfg, p, t, l)
+    )(params, toks, tl)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    sched = dec.new_scheduler(int(tl[0]))
+    seq = [np.asarray(tok)]
+    live = []
+    s = 0
+    while len(seq) < steps + 1:
+        toks_out, cache, state = dec.step_auto(sched, params, tok, tl + s,
+                                               cache, state)
+        arr = np.asarray(toks_out)
+        for j in range(arr.shape[1]):
+            if len(seq) < steps + 1:
+                seq.append(arr[:, j])
+        tok = toks_out[:, -1]
+        s += arr.shape[1]
+        if collect_live:
+            if cache.alive is not None:
+                ln = np.asarray(cache.length)             # [L,B]
+                idx = np.arange(cache.capacity)
+                valid = (np.asarray(cache.alive)
+                         & (idx[None, None, None, :]
+                            < ln[:, :, None, None]))
+                live.append(valid.sum(-1)[:, :, 0].copy())  # [L,B] head 0
+            else:
+                live.append(np.asarray(cache.length).copy())
+    return np.stack(seq, 1), cache, sched, live
+
+
+@pytest.mark.parametrize("method,metric", [
+    ("h2o", "jump"),
+    ("h2o", "fixed"),
+    ("snapkv", "linear"),
+    ("allkv", "jump"),
+])
+def test_lazy_matches_eager_tokens_and_live_counts(method, metric):
+    comp = comp_for(method, metric)
+    ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=48,
+                        dtype="float32")
+    lecfg = ecfg.replace(lazy_evict=True, lazy_slack=128)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+
+    eseq, ecache, _, elive = host_run(comp, ecfg, params, toks, tl, STEPS,
+                                      collect_live=True)
+    lseq, lcache, lsched, llive = host_run(comp, lecfg, params, toks, tl,
+                                           STEPS, collect_live=True)
+    np.testing.assert_array_equal(eseq, lseq)
+    # Live-slot counts track the eager lengths exactly, step by step.
+    for e, l in zip(elive, llive):
+        np.testing.assert_array_equal(e, l)
+    # Host mirror: virtual length == live count, phys >= virtual.
+    assert lsched.phys >= lsched.length
+
+
+@pytest.mark.parametrize("chunks", [(), (4, 2)])
+def test_lazy_compaction_mid_run(chunks):
+    """Tiny lazy_slack forces compact_lazy to fire during the run; tokens
+    must still match the eager path and physical lengths must shrink."""
+    comp = comp_for("h2o", "jump")
+    ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=64,
+                        dtype="float32", decode_chunk_sizes=chunks)
+    lecfg = ecfg.replace(lazy_evict=True, lazy_slack=8)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(1), jnp.float32)
+    rng = np.random.default_rng(1)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+
+    steps = 60
+    eseq, ecache, esched, _ = host_run(comp, ecfg, params, toks, tl, steps)
+    lseq, lcache, lsched, _ = host_run(comp, lecfg, params, toks, tl,
+                                       steps)
+    np.testing.assert_array_equal(eseq, lseq)
+    # Compaction must have fired: capacity is only slack+... above the
+    # steady state, and phys grows every step without it.
+    cap = lcache.capacity
+    assert lsched.phys < cap
+    assert int(np.asarray(lcache.length).max()) <= cap
+
+
+def test_lazy_rejects_device_cond_path():
+    comp = comp_for("h2o", "jump")
+    lecfg = EngineConfig(max_prompt_len=128, max_new_tokens=48,
+                         dtype="float32", lazy_evict=True)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 100, jnp.int32)
+    logits, cache, state = llama.prefill(TINY_LLAMA, comp, lecfg, params,
+                                         toks, tl)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    with pytest.raises(ValueError, match="lazy_evict"):
+        llama.decode_step(TINY_LLAMA, comp, lecfg, params, tok, tl, cache,
+                          state)
+
+
+def test_lazy_serving_matches_eager_serving():
+    from scope_tpu.engine.serving import ServingEngine
+    comp = comp_for("h2o", "jump")
+    ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=48,
+                        dtype="float32")
+    lecfg = ecfg.replace(lazy_evict=True, lazy_slack=16)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(2), jnp.float32)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 90, 110)]
+
+    def run(cfg):
+        eng = ServingEngine(TINY_LLAMA, comp, cfg, params, max_slots=2)
+        ids = [eng.submit(p, 40) for p in prompts]
+        return ids, eng.run()
+
+    ids_e, res_e = run(ecfg)
+    ids_l, res_l = run(lecfg)
+    for re_, rl in zip(ids_e, ids_l):
+        np.testing.assert_array_equal(np.array(res_e[re_]),
+                                      np.array(res_l[rl]))

@@ -130,3 +130,54 @@ def test_mistral_compression_methods_run(hf_model, inputs):
                                                  state)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_mistral_decode_window_parity_flag():
+    """comp.mistral_window_parity reproduces the reference's decode-phase
+    positional cache slicing (mistral_model.py:246-269): once the virtual
+    length exceeds the window, the cache is pinned to the last window-1
+    physical slots (+1 appended) each step, regardless of compression."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    from scope_tpu.models import llama
+    from scope_tpu.models.registry import TINY_MISTRAL
+
+    # Window (40) below the steady compressed size (P+W = 48) so the
+    # positional slicing actually bites during decode.
+    spec = TINY_MISTRAL.replace(sliding_window=40)
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="fixed", max_capacity_prompt=32,
+        window_size=8, decoding_window_size=16, decoding_recent_size=8,
+        delta=3, mistral_window_parity=True)
+    ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=48,
+                        dtype="float32")
+    params = llama.init_params(spec, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 512, (1, 128)), jnp.int32)
+    tl = jnp.full((1,), 40, jnp.int32)
+
+    logits, cache, state = llama.prefill(spec, comp, ecfg, params, toks, tl)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    lengths = []
+    for s in range(24):
+        logits, cache, state = llama.decode_step(
+            spec, comp, ecfg, params, tok, tl + s, cache, state)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        lengths.append(int(cache.length[0, 0]))
+        assert np.isfinite(np.asarray(logits)).all()
+    # Parity mode pins the post-append length at the window; the
+    # un-sliced run grows to the compressed steady state P+W = 48.
+    assert max(lengths) <= spec.sliding_window
+    assert lengths[-1] == spec.sliding_window
+
+    comp_off = comp.replace(mistral_window_parity=False)
+    logits, cache, state = llama.prefill(spec, comp_off, ecfg, params,
+                                         toks, tl)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    for s in range(24):
+        logits, cache, state = llama.decode_step(
+            spec, comp_off, ecfg, params, tok, tl + s, cache, state)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    assert int(cache.length[0, 0]) > spec.sliding_window
