@@ -83,14 +83,16 @@ def build_state(spec, comp, ecfg, params, prompt_len, batch=1,
 
 
 def measure_decode(spec, comp, ecfg, params, prompt_len, steps=64,
-                   warmup=4, fake_len=None, start_step=0, batch=1):
+                   warmup=4, fake_len=None, start_step=0, batch=1,
+                   prefill_batch=16):
     """Returns aggregate decode tokens/s (batch * steps / wall)."""
     import jax
     import jax.numpy as jnp
     from scope_tpu.models import llama
 
     tok, tl, cache, state = build_state(spec, comp, ecfg, params,
-                                        prompt_len, batch, fake_len)
+                                        prompt_len, batch, fake_len,
+                                        prefill_batch=prefill_batch)
     from scope_tpu.compression.host_sched import host_schedulable
     sched = None
     if host_schedulable(comp):
@@ -226,7 +228,8 @@ def run_pair(spec, params, batch, prompt_len=2048):
 
 def run_scope_only(spec, params, batch, prompt_len=2048,
                    kv_dtype="bfloat16", evict_per_qhead=True,
-                   weights_int8=False, ring=0, chunks=(), lazy=0):
+                   weights_int8=False, ring=0, chunks=(), lazy=0,
+                   prefill_batch=16):
     from scope_tpu.config import CompressionConfig, EngineConfig
 
     comp = CompressionConfig(
@@ -242,11 +245,121 @@ def run_scope_only(spec, params, batch, prompt_len=2048,
     if weights_int8:
         from scope_tpu.ops import quant
         params = quant.quantize_layer_weights(params)
-    tps = measure_decode(spec, comp, ecfg, params, prompt_len, batch=batch)
+    tps = measure_decode(spec, comp, ecfg, params, prompt_len, batch=batch,
+                         prefill_batch=prefill_batch)
     log(f"[batch={batch} kv={kv_dtype} qhead={evict_per_qhead} "
         f"w8={weights_int8} ring={ring} chunks={tuple(chunks)} "
         f"lazy={lazy}] scope decode: {tps:.1f} tok/s")
     return tps
+
+
+def fake_params_int8(spec, seed: int = 0):
+    """Weight tree in quantize_layer_weights' int8 layout WITHOUT ever
+    materializing the bf16 weights (8B bf16 = 16GB > HBM).
+
+    Values come from an elementwise iota hash — decode throughput is
+    weight-value-independent, only bytes moved matter; scales are sized
+    so activations/logits stay finite.  Layout matches
+    ops/quant.quantize_layer_weights + llama.init_params exactly.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    L, E = spec.num_layers, spec.hidden_size
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    I = spec.intermediate_size
+    G = spec.num_kv_groups
+
+    def fake_i8(shape):
+        @jax.jit
+        def mk():
+            i = lax.iota(jnp.uint32, int(np.prod(shape))).reshape(shape)
+            h = (i * jnp.uint32(2654435761 + seed)) >> jnp.uint32(13)
+            return ((h % jnp.uint32(255)).astype(jnp.int32)
+                    - 127).astype(jnp.int8)
+        return mk()
+
+    def fake_bf16(shape, fan_in):
+        @jax.jit
+        def mk():
+            i = lax.iota(jnp.uint32, int(np.prod(shape))).reshape(shape)
+            h = (i * jnp.uint32(2654435761 + seed)) >> jnp.uint32(13)
+            v = (h % jnp.uint32(255)).astype(jnp.float32) - 127.0
+            return (v / (127.0 * math.sqrt(fan_in))).astype(jnp.bfloat16)
+        return mk()
+
+    def scale(F, fan_in):
+        return jnp.full((L, F), 1.0 / (127.0 * math.sqrt(fan_in)),
+                        jnp.float32)
+
+    Fqkv = Hkv * (G + 2) * D
+    params = {
+        "embed": fake_bf16((spec.vocab_size, E), E),
+        "final_norm": jnp.ones((E,), jnp.bfloat16),
+        "layers": {
+            "ln_attn": jnp.ones((L, E), jnp.bfloat16),
+            "ln_mlp": jnp.ones((L, E), jnp.bfloat16),
+            "wqkv": fake_i8((L, E, Fqkv)),
+            "wqkv_scale": scale(Fqkv, E),
+            "wo": fake_i8((L, Hq * D, E)),
+            "wo_scale": scale(E, Hq * D),
+            "w_gate": fake_i8((L, E, I)),
+            "w_gate_scale": scale(I, E),
+            "w_up": fake_i8((L, E, I)),
+            "w_up_scale": scale(I, E),
+            "w_down": fake_i8((L, I, E)),
+            "w_down_scale": scale(E, I),
+        },
+    }
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = fake_bf16((E, spec.vocab_size), E)
+    return params
+
+
+def run_8b_leg(lazy=256):
+    """North-star shapes (BASELINE.json: decode tok/s/chip at 8B under
+    20% KV budget): Llama-3-8B weight-int8 + int8 KV on one v5e chip.
+    Compression buys batch capacity: the 10k-context full-cache baseline
+    tops out near b4 (0.68GB/row of cache next to 9GB of weights) while
+    the compressed cache fits several times that.  Returns
+    (scope_tok_s, full_tok_s, scope_batch, full_batch)."""
+    from scope_tpu.models.registry import get_spec
+
+    spec = get_spec("llama-3-8b")
+    params = fake_params_int8(spec)
+    scope = full = None
+    sb = fb = 0
+    for b in (24, 16, 8):
+        try:
+            scope = run_scope_only(spec, params, b, kv_dtype="int8",
+                                   evict_per_qhead=False, lazy=lazy,
+                                   prefill_batch=4)
+            sb = b
+            break
+        except Exception as e:
+            log(f"8B scope b{b} failed ({type(e).__name__}); smaller")
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    comp_full = CompressionConfig(method="allkv", decoding_metric="none",
+                                  evict_per_qhead=False)
+    ecfg_full = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,
+                             dtype="bfloat16", uniform_lengths=True,
+                             kv_dtype="int8")
+    cap_full = ecfg_full.cache_capacity(comp_full)
+    fake_len = min(10000, cap_full - 200)
+    for b in (8, 4, 2):
+        try:
+            full = measure_decode(spec, comp_full, ecfg_full, params,
+                                  2048, fake_len=fake_len, batch=b,
+                                  prefill_batch=2)
+            fb = b
+            log(f"[8B full-cache b{b}] {full:.1f} tok/s")
+            break
+        except Exception as e:
+            log(f"8B full b{b} failed ({type(e).__name__}); smaller")
+    return scope, full, sb, fb
 
 
 def main():

@@ -142,6 +142,11 @@ def run_dataset(args, spec, params, tokenizer, dataset: str, fout):
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--platform", type=str, default="",
+                   help="force a JAX platform (e.g. 'cpu' for smoke "
+                        "sweeps; the axon TPU plugin ignores the "
+                        "JAX_PLATFORMS env var, so this calls "
+                        "jax.config.update)")
     p.add_argument("--base_dir", type=str, default=".")
     p.add_argument("--datasets", type=str, nargs="*", default=["gsm8k"])
     p.add_argument("--data_file", type=str, default=None)
@@ -196,6 +201,8 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from scope_tpu.models import llama
     from scope_tpu.models.loader import load_hf_checkpoint

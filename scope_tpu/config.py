@@ -172,16 +172,16 @@ class EngineConfig:
     # Prefill attention backend: "auto" (pallas on TPU, xla elsewhere),
     # "xla", "pallas", "pallas_interpret".
     attn_backend: str = "auto"
-    # Use the fused pallas decode-attention kernel (experimental: the
-    # current single-block version underperforms XLA's einsum path — its
-    # whole-stripe blocks defeat DMA/compute overlap; needs chunked
-    # online-softmax pipelining).  The XLA decode path is near roofline
-    # at large caches, so this stays off by default.
-    fused_decode_attention: bool = False
-    # Experimental in-place pallas append (ops/pallas/append.py).  Off by
-    # default: buffer aliasing through the runtime is unverified on the
-    # real chip (measured full-copy behavior at jit boundaries).
-    append_kernel: bool = False
+    # NOTE (kernel verdict, round 3): two hand-written pallas decode-side
+    # kernels were built, measured, and REMOVED — a decode-attention
+    # kernel (two designs: whole-stripe and head-folded chunked) lost to
+    # XLA's einsum path, which is already at the HBM roofline for decode
+    # attention, and an in-place append kernel whose input/output
+    # aliasing the runtime defeated with copies at jit boundaries.  The
+    # append-copy problem is solved by the staging ring (decode_ring) and
+    # the fire-rewrite problem by lazy eviction (lazy_evict) instead.
+    # The pallas fused flash-prefill kernel (ops/pallas/flash_prefill.py)
+    # remains the production prefill path on TPU.
     # Promise that all batch rows share identical prompt lengths and hence
     # identical cache lengths/schedules.  Enables the contiguous
     # (single dynamic_update_slice) cache-write fast path for batch > 1;

@@ -442,28 +442,25 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         win = (spec.sliding_window
                if (spec.sliding_window is not None
                    and comp.method in ("fullkv", "allkv")) else 0)
-        backend = ecfg.resolve_attn_backend()
-        use_fused = (ecfg.fused_decode_attention
-                     and backend in ("pallas", "pallas_interpret")
-                     and not quest and not use_ring and not int4_kv
-                     and cache.alive is None)
         # Eviction scores are only consumed on steps that may compress;
         # hot host-scheduled steps skip materialising them entirely.
+        # (Decode attention itself is XLA: two hand-written pallas decode
+        # kernels were measured and removed — see the kernel verdict note
+        # in config.py; XLA's einsum path is at the HBM roofline here.)
         need_probs = (comp.decoding_metric != "none"
                       and compress_mode != "off")
-        if not use_fused:
-            mask = slot_mask(length, pvalid, cache.prefill_gap, cap_eff)
-            if alive_all is not None:
-                # Lazy eviction: tombstoned slots attend as NEG_INF —
-                # the logit multiset equals the compacted cache's, so
-                # the probabilities (and eviction scores) are identical.
-                mask = mask & alive_all[l][:, :, :cap_eff]
-            if win:
-                # Mistral sliding window; only meaningful while slot index
-                # == token position (see models/mistral.py).
-                idx = jnp.arange(cap_eff)
-                mask = mask & (idx[None, None, :]
-                               > (vpos[:, None, None] - win))
+        mask = slot_mask(length, pvalid, cache.prefill_gap, cap_eff)
+        if alive_all is not None:
+            # Lazy eviction: tombstoned slots attend as NEG_INF —
+            # the logit multiset equals the compacted cache's, so
+            # the probabilities (and eviction scores) are identical.
+            mask = mask & alive_all[l][:, :, :cap_eff]
+        if win:
+            # Mistral sliding window; only meaningful while slot index
+            # == token position (see models/mistral.py).
+            idx = jnp.arange(cap_eff)
+            mask = mask & (idx[None, None, :]
+                           > (vpos[:, None, None] - win))
 
         if quest:
             from scope_tpu.compression.quest import quest_decode_stacked
@@ -495,21 +492,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     og = og + vo_l[:, :, None, :].astype(out.dtype)
                 out = og.reshape(B, Hq, 1, D)
         else:
-            if use_fused:
-                from scope_tpu.ops.pallas.decode_attn import \
-                    fused_decode_attention
-                R = 1 if comp.evict_per_qhead else G
-                qg = q.reshape(B, Hc, R, D)
-                out, pr = fused_decode_attention(
-                    qg, ck_v, cv_v, length, pvalid,
-                    prefill_gap=cache.prefill_gap, window=win,
-                    need_probs=need_probs,
-                    new_k=k if defer_append else None,
-                    new_v=v if defer_append else None,
-                    interpret=backend == "pallas_interpret")
-                out = out.reshape(B, Hq, 1, D)
-                probs = pr.sum(axis=2) if pr is not None else None
-            elif use_ring:
+            if use_ring:
                 out = _ring_decode_attention(
                     q, ck_v, cv_v, mask, cache.ring_k[l], cache.ring_v[l],
                     cache.ring_fill, k, v, softmax_f32=ecfg.softmax_f32)
@@ -656,21 +639,11 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     elif defer_append:
         ks = jnp.stack([kk for kk, _ in staged])      # [L, B, Hc, 1, D]
         vs = jnp.stack([vv for _, vv in staged])
-        backend = ecfg.resolve_attn_backend()
-        if ecfg.append_kernel and backend in ("pallas",
-                                              "pallas_interpret"):
-            # Experimental in-place tile RMW (input_output_aliases).
-            # Off by default: at a jit boundary the runtime was measured
-            # to COPY the aliased buffers; inside a larger program it is
-            # unverified.  The XLA path below costs ~0.9ms/step (b4, 1B)
-            # in every formulation tried — see scripts/bisect_step.py.
-            from scope_tpu.ops.pallas.append import append_tokens
-            ln = (len_all[0, 0] if (B == 1 or ecfg.uniform_lengths)
-                  else len_all[0])
-            ck_all, cv_all = append_tokens(
-                ck_all, cv_all, ks, vs, ln,
-                interpret=backend == "pallas_interpret")
-        elif B == 1 or ecfg.uniform_lengths:
+        # (A pallas in-place append kernel was tried here and removed:
+        # the runtime copies aliased buffers at jit boundaries, so every
+        # formulation cost a near-full-buffer copy — the staging ring is
+        # the fix; see the kernel verdict note in config.py.)
+        if B == 1 or ecfg.uniform_lengths:
             start = (0, 0, 0, len_all[0, 0], 0)
             ck_all = lax.dynamic_update_slice(ck_all, ks, start)
             cv_all = lax.dynamic_update_slice(cv_all, vs, start)
