@@ -383,38 +383,62 @@ def main():
     tps_scope4, tps_full4 = run_pair(spec, params, 4)
     log(f"[batch=4] same-batch speedup: {tps_scope4 / tps_full4:.2f}x")
     # Parity mode (reference semantics: GQA-expanded per-query-head
-    # eviction, llama_model.py:566-567) at its best (batch, kv) —
-    # measured ladder: b32/int8 1410, b16/int8 1202, b16/bf16 1003
-    # tok/s; b48/int8 and b32/bf16 OOM.
+    # eviction, llama_model.py:566-567) at its best (batch, kv).  Lazy
+    # eviction first: the eager force program materializes per-layer
+    # cache slices as HLO temps around its gathers (the r02 b32 OOM); the
+    # lazy force has no gathers, so b32 fits again.
     tps_parity = tps_scope4
-    for b, kv in ((32, "int8"), (16, "int8"), (16, "bfloat16"),
-                  (8, "bfloat16")):
+    for b, kv, lz in ((32, "int8", 256), (32, "int8", 0),
+                      (16, "int8", 256), (16, "bfloat16", 0),
+                      (8, "bfloat16", 0)):
         try:
             tps_parity = max(tps_parity,
-                             run_scope_only(spec, params, b, kv_dtype=kv))
+                             run_scope_only(spec, params, b, kv_dtype=kv,
+                                            lazy=lz))
             break
         except Exception as e:
-            log(f"batch={b}/{kv} scope run failed ({e}); trying smaller")
+            log(f"batch={b}/{kv}/lazy={lz} parity run failed "
+                f"({type(e).__name__}); trying smaller")
     log(f"[parity-mode best] {tps_parity:.1f} tok/s")
-    # Production serving config: per-KV-head eviction (the cache stores
-    # kv heads, not the reference's x4 GQA-expanded copy) + int8 KV.
-    # Measured: b192 6295, b256 6178, b128 5801, b64 4696 tok/s.
+    # Production serving config: per-KV-head eviction + int8 KV +
+    # weight-only int8 + LAZY eviction (fires tombstone instead of the
+    # latency-bound gather rewrite; measured r3 sweep: b192 lazy 5620
+    # vs eager 3867 tok/s fire-inclusive; chunks neutral at this batch).
+    from scope_tpu.ops import quant
+    params = quant.quantize_layer_weights(params)
     tps_best = tps_parity
-    for b in (192, 128, 64):
+    for b, lz in ((192, 256), (160, 256), (128, 256), (192, 0)):
         try:
             tps_best = max(tps_best, run_scope_only(
-                spec, params, b, kv_dtype="int8", evict_per_qhead=False))
+                spec, params, b, kv_dtype="int8", evict_per_qhead=False,
+                lazy=lz))
             break
         except Exception as e:
-            log(f"batch={b}/int8/kvhead run failed ({e}); trying smaller")
+            log(f"batch={b}/int8/kvhead/lazy={lz} run failed "
+                f"({type(e).__name__}); trying smaller")
     log(f"[serving-config best] {tps_best:.1f} tok/s "
         f"({tps_best / tps_full4:.1f}x full-cache best-batch)")
+    # North-star shapes: Llama-3-8B (BASELINE.json) on the one chip.
+    del params
+    b8_scope = b8_full = None
+    sb = fb = 0
+    try:
+        b8_scope, b8_full, sb, fb = run_8b_leg()
+    except Exception as e:
+        log(f"8B leg failed entirely: {type(e).__name__}: {e}")
     result = {
         "metric": ("decode_tok_per_s_1B_scope_h2o_jump_best_serving"
                    "_config_vs_fullcache_10k_best_batch"),
         "value": round(tps_best, 2),
         "unit": "tok/s/chip",
         "vs_baseline": round(tps_best / tps_full4, 3),
+        "parity_mode_tok_s": round(tps_parity, 2),
+        "b8_scope_tok_s": b8_scope and round(b8_scope, 2),
+        "b8_scope_batch": sb,
+        "b8_fullcache_tok_s": b8_full and round(b8_full, 2),
+        "b8_fullcache_batch": fb,
+        "b8_vs_fullcache": (round(b8_scope / b8_full, 3)
+                            if b8_scope and b8_full else None),
     }
     print(json.dumps(result), flush=True)
 

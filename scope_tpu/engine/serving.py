@@ -494,11 +494,112 @@ class ServingEngine:
             self._process_one()
         return True
 
-    def run(self, max_steps: int = 1_000_000) -> Dict[int, List[int]]:
-        """Run until the queue and all slots drain."""
+    # ------------------------------------------------------------------
+    # Failure detection / elastic recovery.
+    #
+    # The reference has NOTHING here (SURVEY §5: a failed run is a dead
+    # shell-loop iteration; its evaluator papers over missing files with
+    # -1).  Production serving needs fail-stop recovery: a periodic
+    # host-side snapshot of the engine (device buffers fetched to numpy +
+    # the host scheduler mirrors), and on a device/runtime error a
+    # rebuild-and-replay — completed requests keep their results,
+    # in-flight requests resume from the snapshot, requests submitted
+    # after the snapshot are replayed from their prompts.
+
+    def snapshot(self) -> dict:
+        """Host-side snapshot.  Drains in-flight fetches first so the
+        host state is consistent with the device buffers."""
+        import copy
+        import pickle
+        while self._inflight:
+            self._process_one()
+        cache_np = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if x is not None else None,
+            self.cache)
+        return {
+            "cache": cache_np,
+            "state": jax.tree_util.tree_map(np.asarray, self.state),
+            "tok_dev": np.asarray(self._tok_dev),
+            "slots": copy.deepcopy(self.slots),
+            "cur_tok": self.cur_tok.copy(),
+            "vpos": self.vpos.copy(),
+            "results": {k: list(v) for k, v in self.results.items()},
+            "samp": dict(self._samp),
+            "samp_arrays": (self._samp_t.copy(), self._samp_k.copy(),
+                            self._samp_p.copy(), self._samp_seed.copy()),
+            "ring_fill": self._ring_fill,
+            "slot_scheds": (pickle.dumps(self._slot_scheds)
+                            if self._host_mode else None),
+            "native_sched": self.sched.snapshot(),
+            "pending_prompts": {k: v.copy()
+                                for k, v in self._pending_prompts.items()},
+        }
+
+    def restore(self, snap: dict):
+        """Rebuild engine state from :meth:`snapshot` (fresh or reused
+        engine object; jitted programs are re-traced lazily)."""
+        import pickle
+        put = jax.device_put
+        if self.mesh is not None:
+            from scope_tpu.parallel.sharding import shard_cache
+            self.cache = shard_cache(snap["cache"], self.mesh)
+        else:
+            self.cache = jax.tree_util.tree_map(
+                lambda x: put(x) if x is not None else None, snap["cache"])
+        self.state = jax.tree_util.tree_map(put, snap["state"])
+        self._tok_dev = put(snap["tok_dev"])
+        import copy
+        self.slots = copy.deepcopy(snap["slots"])
+        self.cur_tok = snap["cur_tok"].copy()
+        self.vpos = snap["vpos"].copy()
+        self.results = {k: list(v) for k, v in snap["results"].items()}
+        self._samp = dict(snap["samp"])
+        (self._samp_t, self._samp_k, self._samp_p,
+         self._samp_seed) = [a.copy() for a in snap["samp_arrays"]]
+        self._ring_fill = snap["ring_fill"]
+        if self._host_mode and snap["slot_scheds"] is not None:
+            self._slot_scheds = pickle.loads(snap["slot_scheds"])
+        self.sched.restore(snap["native_sched"])
+        self._pending_prompts = {k: v.copy()
+                                 for k, v in snap["pending_prompts"].items()}
+        self._inflight = []
+        self._pending_prefills = []
+
+    def recover(self, snap: dict, resubmit: dict):
+        """Fail-stop recovery: restore the snapshot, then replay requests
+        submitted AFTER it (``resubmit``: rid -> (prompt_ids, max_new)).
+        Finished-in-snapshot results are kept verbatim; the caller maps
+        old rids to the new ids returned here."""
+        self.restore(snap)
+        return {old_rid: self.submit(np.asarray(ids), max_new)
+                for old_rid, (ids, max_new) in resubmit.items()}
+
+    def run(self, max_steps: int = 1_000_000,
+            snapshot_every: int = 0,
+            max_recoveries: int = 0) -> Dict[int, List[int]]:
+        """Run until the queue and all slots drain.
+
+        snapshot_every > 0 keeps a rolling host snapshot every N steps;
+        with max_recoveries > 0 a device/runtime error triggers restore-
+        and-continue from the last snapshot instead of propagating
+        (fail-stop recovery; steps since the snapshot are recomputed)."""
+        snap = None
+        recoveries = 0
         steps = 0
         while steps < max_steps:
-            progressed = self.step()
+            if snapshot_every and steps % snapshot_every == 0:
+                snap = self.snapshot()
+            try:
+                progressed = self.step()
+            except Exception:
+                if snap is None or recoveries >= max_recoveries:
+                    raise
+                recoveries += 1
+                logging.getLogger(__name__).warning(
+                    "serving step failed; restoring last snapshot "
+                    "(recovery %d/%d)", recoveries, max_recoveries)
+                self.restore(snap)
+                progressed = True
             if not progressed and self.sched.queued == 0:
                 break
             steps += 1

@@ -135,6 +135,12 @@ def load_scheduler():
         lib.scope_sched_live_tokens.restype = c.c_int64
         lib.scope_sched_slot_id.argtypes = [c.c_void_p, c.c_int32]
         lib.scope_sched_slot_id.restype = c.c_int64
+        for name, res in (("scope_sched_snapshot", c.c_int64),
+                          ("scope_sched_restore", c.c_int32)):
+            if hasattr(lib, name):
+                getattr(lib, name).argtypes = [c.c_void_p, c.c_char_p,
+                                               c.c_int64]
+                getattr(lib, name).restype = res
         _sched_lib = lib
         return _sched_lib
 
@@ -231,6 +237,32 @@ class SlotScheduler:
         if self._lib is not None:
             return int(self._lib.scope_sched_live_tokens(self._h))
         return self._live
+
+    def snapshot(self):
+        """Opaque state blob for fail-stop recovery (engine.snapshot)."""
+        if self._lib is not None and hasattr(self._lib,
+                                             "scope_sched_snapshot"):
+            need = self._lib.scope_sched_snapshot(self._h, None, 0)
+            buf = ctypes.create_string_buffer(int(need))
+            got = self._lib.scope_sched_snapshot(self._h, buf, need)
+            assert got == need
+            return ("native", buf.raw)
+        return ("py", (self._budget, list(self._queue), list(self._slots),
+                       self._live, self._next))
+
+    def restore(self, snap):
+        kind, data = snap
+        if self._lib is not None and kind == "native":
+            rc = self._lib.scope_sched_restore(self._h, data, len(data))
+            if rc != 0:
+                raise ValueError("scheduler snapshot mismatch")
+            return
+        if kind != "py" or self._lib is not None:
+            raise ValueError("scheduler snapshot kind mismatch "
+                             f"({kind!r} vs lib={self._lib is not None})")
+        (self._budget, q, slots, self._live, self._next) = data
+        self._queue = list(q)
+        self._slots = list(slots)
 
     def __del__(self):
         if getattr(self, "_lib", None) is not None and self._h:

@@ -150,4 +150,55 @@ int64_t scope_sched_slot_id(void* h, int32_t slot) {
   return static_cast<Scheduler*>(h)->slots[slot].id;
 }
 
+// ---- snapshot / restore (fail-stop recovery) -------------------------
+//
+// The serving engine keeps a periodic host-side snapshot of its device
+// buffers; the scheduler must round-trip alongside so admission order,
+// token accounting and request ids survive a restore.  Layout: fixed
+// header, then the queue ring normalized to head=0, then the slot table.
+
+struct SnapHeader {
+  int64_t next_id;
+  int64_t live_tokens;
+  int32_t q_len;
+  int32_t max_slots;
+};
+
+int64_t scope_sched_snapshot(void* h, uint8_t* buf, int64_t cap) {
+  auto* s = static_cast<Scheduler*>(h);
+  int64_t need = static_cast<int64_t>(sizeof(SnapHeader))
+      + static_cast<int64_t>(sizeof(Request)) * (s->q_len + s->max_slots);
+  if (!buf || cap < need) return need;   // size query / too small
+  SnapHeader hd{s->next_id, s->live_tokens, s->q_len, s->max_slots};
+  std::memcpy(buf, &hd, sizeof(hd));
+  uint8_t* p = buf + sizeof(hd);
+  for (int i = 0; i < s->q_len; ++i) {
+    std::memcpy(p, &s->queue[(s->q_head + i) % s->queue_cap],
+                sizeof(Request));
+    p += sizeof(Request);
+  }
+  std::memcpy(p, s->slots, sizeof(Request) * s->max_slots);
+  return need;
+}
+
+int32_t scope_sched_restore(void* h, const uint8_t* buf, int64_t len) {
+  auto* s = static_cast<Scheduler*>(h);
+  SnapHeader hd;
+  if (len < static_cast<int64_t>(sizeof(hd))) return -1;
+  std::memcpy(&hd, buf, sizeof(hd));
+  if (hd.max_slots != s->max_slots || hd.q_len > s->queue_cap) return -1;
+  int64_t need = static_cast<int64_t>(sizeof(hd))
+      + static_cast<int64_t>(sizeof(Request)) * (hd.q_len + hd.max_slots);
+  if (len < need) return -1;
+  s->next_id = hd.next_id;
+  s->live_tokens = hd.live_tokens;
+  s->q_head = 0;
+  s->q_len = hd.q_len;
+  const uint8_t* p = buf + sizeof(hd);
+  std::memcpy(s->queue, p, sizeof(Request) * hd.q_len);
+  p += sizeof(Request) * hd.q_len;
+  std::memcpy(s->slots, p, sizeof(Request) * s->max_slots);
+  return 0;
+}
+
 }  // extern "C"

@@ -27,6 +27,9 @@ CONFIGS = [
     (192, "int8", 64, (), 256),         # 4: + staging ring
     (128, "int8", 0, (8,), 256),        # 5
     (256, "int4", 0, (), 256),          # 6: int4 at scale
+    (224, "int8", 0, (), 256),          # 7: push batch under lazy
+    (384, "int4", 0, (), 256),          # 8
+    (192, "int8", 64, (8,), 256),       # 9: ring + chunks + lazy
 ]
 
 
