@@ -716,28 +716,36 @@ def _ring_decode_attention(q, cache_k, cache_v, mask, ring_k, ring_v,
     Hc = cache_k.shape[1]
     R = ring_k.shape[2]
     scale = 1.0 / math.sqrt(D)
-    acc = jnp.float32 if softmax_f32 else q.dtype
     qg = q.reshape(B, Hc, Hq // Hc, D)
     cd = (q.dtype if jnp.issubdtype(cache_k.dtype, jnp.integer)
           else cache_k.dtype)
-    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(cache_k, cd),
-                        preferred_element_type=acc) * scale
-    logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
-    l_ring = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(ring_k, cd),
-                        preferred_element_type=acc) * scale
-    rmask = jnp.arange(R) < fill                              # [R]
-    l_ring = jnp.where(rmask[None, None, None, :], l_ring, NEG_INF)
-    l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(k_new, cd),
-                       preferred_element_type=acc) * scale
-    probs = jax.nn.softmax(
-        jnp.concatenate([logits, l_ring, l_new], axis=-1
-                        ).astype(jnp.float32), axis=-1)
-    S = cache_k.shape[2]
-    out = (jnp.einsum("bhgs,bhsd->bhgd",
-                      probs[..., :S].astype(cd), _tc(cache_v, cd))
-           + jnp.einsum("bhgs,bhsd->bhgd",
-                        probs[..., S:S + R].astype(cd), _tc(ring_v, cd))
-           + probs[..., -1:].astype(cd) * _tc(v_new, cd))
+
+    # Per-segment online-softmax merge instead of concatenating logits:
+    # the 3-way concat made XLA materialize the big converted cache
+    # slices as HLO temps per layer (observed: 264MB s8 temps x L at
+    # b192 -> compile OOM) instead of fusing the int8->bf16 convert into
+    # the einsums.  Mathematically identical (same softmax, different
+    # association).
+    def seg(kseg, vseg, m):
+        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(kseg, cd),
+                            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(m[:, :, None, :], logits, NEG_INF)
+        mx = logits.max(axis=-1)                          # [B,Hc,G]
+        e = jnp.exp(logits - mx[..., None])
+        num = jnp.einsum("bhgs,bhsd->bhgd", e.astype(cd),
+                         _tc(vseg, cd)).astype(jnp.float32)
+        return mx, e.sum(-1), num
+
+    m1, s1, n1 = seg(cache_k, cache_v, mask)
+    rmask = jnp.broadcast_to((jnp.arange(R) < fill)[None, None, :],
+                             (B, Hc, R))
+    m2, s2, n2 = seg(ring_k, ring_v, rmask)
+    m3, s3, n3 = seg(k_new, v_new, jnp.ones((B, Hc, 1), bool))
+    m = jnp.maximum(jnp.maximum(m1, m2), m3)
+    w1, w2, w3 = (jnp.exp(m1 - m), jnp.exp(m2 - m), jnp.exp(m3 - m))
+    num = n1 * w1[..., None] + n2 * w2[..., None] + n3 * w3[..., None]
+    den = s1 * w1 + s2 * w2 + s3 * w3
+    out = (num / den[..., None]).astype(q.dtype)
     return out.reshape(B, Hq, 1, D)
 
 
