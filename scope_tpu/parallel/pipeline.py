@@ -1,0 +1,188 @@
+"""Pipeline-parallel decode: layer stages over a mesh axis (GPipe).
+
+The reference's only "pipeline" is accelerate's device_map layer
+placement (run_longgenbench.py:359) — implicit transfers, one request at
+a time.  Here PP is explicit and TPU-native: the layer-stacked weights
+and the KV cache shard over a ``stage`` mesh axis via shard_map
+(L/n_stages contiguous layers per device), and one decode step runs a
+microbatched GPipe schedule — the batch splits into microbatches that
+ripple through the stages, activations hopping stage-to-stage through a
+replicated buffer merged with one small psum per round (disjoint
+microbatch slots per stage), so all stages work concurrently once the
+pipeline fills.
+
+Scope: the decode hot path for the non-evicting methods (fullkv-style
+cache).  Compression is layer-local (scores, top-k, rewrites never cross
+layers — SURVEY §2.5), so SCOPE fires compose with stage sharding the
+same way they compose with the unrolled single-device loop; wiring the
+host-scheduled force program through stages is future work (ROADMAP).
+PP exists for MEMORY reach (models whose weights+cache exceed one
+chip's HBM after TP), not single-token latency — a lone decode token
+cannot fill a pipeline; utilization comes from the microbatches.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from scope_tpu.config import ModelSpec
+from scope_tpu.ops.common import (apply_rope, mlp, repeat_kv, rms_norm,
+                                  rope_cos_sin, rope_inv_freq, wdot)
+
+STAGE_AXIS = "stage"
+
+
+def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < n_stages:
+        raise ValueError(f"need {n_stages} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_stages]), (STAGE_AXIS,))
+
+
+def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
+                   softmax_f32: bool,
+                   embed, final_norm, lm_head, layers,
+                   token, vpos, ck, cv, length):
+    """Runs INSIDE shard_map.  layers: stage-local [L/S, ...] weight
+    stack; ck/cv: stage-local [L/S, B, Hkv, cap, D]; token/vpos: [B]
+    replicated.  Returns (logits [B, V], ck, cv, length+1)."""
+    from scope_tpu.models.llama import _grouped_decode_attention, qkv_flat
+
+    S = n_stages
+    s_idx = lax.axis_index(STAGE_AXIS)
+    B = token.shape[0]
+    MB = B // n_micro
+    L_loc = ck.shape[0]
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    G = spec.num_kv_groups
+    cap = ck.shape[3]
+    dtype = embed.dtype
+
+    inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
+    cos, sin = rope_cos_sin(vpos[:, None], inv_freq)        # [B, 1, Dh]
+
+    # All replicas embed the full batch (tiny at decode width 1); the
+    # ripple below only ever reads/writes microbatch slices.
+    x_buf = jnp.take(embed, token[:, None], axis=0).astype(dtype)
+    logits_buf = jnp.zeros((B, spec.vocab_size), jnp.float32)
+
+    def stage_layers(xs, rows0, ckl, cvl, ln):
+        """Run this stage's layers on one microbatch slice."""
+        cos_m = lax.dynamic_slice_in_dim(cos, rows0, MB, axis=0)
+        sin_m = lax.dynamic_slice_in_dim(sin, rows0, MB, axis=0)
+        ln_m = lax.dynamic_slice_in_dim(ln, rows0, MB, axis=0)
+        for l in range(L_loc):
+            p = {name: arr[l] for name, arr in layers.items()}
+            h = rms_norm(xs, p["ln_attn"], spec.rms_norm_eps)
+            qkv = qkv_flat(p, h).reshape(MB, 1, Hkv, G + 2, D)
+            q = qkv[:, :, :, :G].reshape(MB, 1, Hq, D).transpose(0, 2, 1, 3)
+            k = qkv[:, :, :, G].transpose(0, 2, 1, 3)
+            v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
+            q = apply_rope(q, cos_m, sin_m)
+            k = apply_rope(k, cos_m, sin_m)
+            ckl = lax.dynamic_update_slice(ckl, k[None],
+                                           (l, rows0, 0, ln_m[0], 0))
+            cvl = lax.dynamic_update_slice(cvl, v[None],
+                                           (l, rows0, 0, ln_m[0], 0))
+            ck_m = lax.dynamic_slice(ckl, (l, rows0, 0, 0, 0),
+                                     (1, MB, Hkv, cap, D))[0]
+            cv_m = lax.dynamic_slice(cvl, (l, rows0, 0, 0, 0),
+                                     (1, MB, Hkv, cap, D))[0]
+            mask = jnp.broadcast_to(
+                (jnp.arange(cap)[None, :] <= ln_m[:, None])[:, None, :],
+                (MB, Hkv, cap))
+            out, _ = _grouped_decode_attention(q, ck_m, cv_m, mask, G,
+                                               softmax_f32=softmax_f32)
+            xs = xs + wdot(out.transpose(0, 2, 1, 3).reshape(MB, 1,
+                                                             Hq * D),
+                           p, "wo")
+            xs = xs + mlp(rms_norm(xs, p["ln_mlp"], spec.rms_norm_eps), p)
+        return xs, ckl, cvl
+
+    def round_body(r, carry):
+        x_buf, logits_buf, ckl, cvl = carry
+        m = r - s_idx                                  # my microbatch
+        valid = (m >= 0) & (m < n_micro)
+        mb = jnp.clip(m, 0, n_micro - 1)
+        rows0 = mb * MB
+        xs = lax.dynamic_slice_in_dim(x_buf, rows0, MB, axis=0)
+        xs_new, ckl_new, cvl_new = stage_layers(xs, rows0, ckl, cvl,
+                                                length)
+        # Invalid rounds (pipeline fill/drain) must not mutate anything.
+        ckl = jnp.where(valid, ckl_new, ckl)
+        cvl = jnp.where(valid, cvl_new, cvl)
+        xs_out = jnp.where(valid, xs_new, xs)
+        # Hand the microbatch to the next stage: stages write DISJOINT
+        # slots this round (m = r - s is unique per s), so one psum of
+        # the masked deltas merges the replicated buffer exactly.
+        delta = jnp.zeros_like(x_buf)
+        delta = lax.dynamic_update_slice_in_dim(delta, xs_out - xs, rows0,
+                                                axis=0)
+        x_buf = x_buf + lax.psum(
+            jnp.where(valid, delta, jnp.zeros_like(delta)), STAGE_AXIS)
+        # Last stage emits logits for its finished microbatch.
+        is_last = s_idx == S - 1
+        h = rms_norm(xs_out, final_norm, spec.rms_norm_eps)
+        lg = jnp.einsum("mse,ev->msv", h, lm_head.astype(h.dtype)
+                        )[:, 0].astype(jnp.float32)
+        lg_delta = jnp.zeros_like(logits_buf)
+        lg_delta = lax.dynamic_update_slice_in_dim(lg_delta, lg, rows0,
+                                                   axis=0)
+        logits_buf = logits_buf + lax.psum(
+            jnp.where(valid & is_last, lg_delta,
+                      jnp.zeros_like(lg_delta)), STAGE_AXIS)
+        return x_buf, logits_buf, ckl, cvl
+
+    n_rounds = n_micro + S - 1
+    x_buf, logits_buf, ck, cv = lax.fori_loop(
+        0, n_rounds, round_body, (x_buf, logits_buf, ck, cv))
+    return logits_buf, ck, cv, length + 1
+
+
+def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
+                   ck, cv, length, *, n_micro: int = 0,
+                   softmax_f32: bool = True):
+    """One pipeline-parallel decode step.
+
+    params: llama.init_params tree (layer stacks shard over the stage
+    axis — L must divide n_stages); ck/cv: [L, B, Hkv, cap, D] fullkv
+    cache, stage-sharded on the layer axis; length: [B].  n_micro
+    microbatches (default = n_stages) must divide the batch.
+    Returns (logits [B, V], ck, cv, length+1)."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    S = mesh.shape[STAGE_AXIS]
+    L = ck.shape[0]
+    if L % S:
+        raise ValueError(f"{L} layers not divisible by {S} stages")
+    n_micro = n_micro or S
+    if token.shape[0] % n_micro:
+        raise ValueError(f"batch {token.shape[0]} not divisible by "
+                         f"{n_micro} microbatches")
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        lm_head = params["embed"].T
+    fn = partial(_pp_step_local, spec, S, n_micro, softmax_f32)
+    lspec = {name: P(STAGE_AXIS) for name in params["layers"]}
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(), P(), lspec, P(), P(), P(STAGE_AXIS), P(STAGE_AXIS),
+                  P()),
+        out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P()))
+    try:
+        sharded = shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:
+        sharded = shard_map(fn, check_rep=False, **kwargs)
+    return sharded(params["embed"], params["final_norm"], lm_head,
+                   params["layers"], token, vpos, ck, cv, length)

@@ -55,6 +55,10 @@ _SLOW = {
     ("test_quest_host", "test_quest_chunked_equals_per_step"),
     ("test_serving", "test_serving_quest_chunked_dispatch_matches"),
     ("test_sampling", "test_serving_per_request_sampling"),
+    ("test_pipeline", "test_pp_decode_matches_single_device"),
+    ("test_lazy_evict", "test_lazy_matches_eager_tokens_and_live_counts"),
+    ("test_lazy_evict", "test_lazy_compaction_mid_run"),
+    ("test_elastic", "test_run_recovers_from_injected_failure"),
 }
 
 
