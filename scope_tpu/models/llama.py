@@ -176,10 +176,17 @@ def layer_post(spec: ModelSpec, p, x: jnp.ndarray, out: jnp.ndarray):
 # --------------------------------------------------------------------------
 
 def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
-            params: Params, tokens: jnp.ndarray, true_len: jnp.ndarray
+            params: Params, tokens: jnp.ndarray, true_len: jnp.ndarray,
+            sp_mesh=None, sp_axis: str = "data"
             ) -> Tuple[jnp.ndarray, KVCache, SchedState]:
     """Process the (right-padded) prompt; returns (last-token logits [B, V],
-    compressed cache, fresh scheduler state)."""
+    compressed cache, fresh scheduler state).
+
+    sp_mesh: sequence-parallel prefill — each layer's O(S^2) attention +
+    eviction scoring runs as ring attention with the prompt's sequence
+    axis sharded over ``sp_axis`` (ops/ring_attention.py; exact-equal to
+    the monolithic path).  Close it over statically, e.g.
+    jit(partial(llama.prefill, spec, comp, ecfg, sp_mesh=mesh))."""
     st = derive_statics(spec, comp, ecfg)
     B, S = tokens.shape
     L = spec.num_layers
@@ -201,13 +208,21 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         q, k, v = layer_qkv(spec, p, x, cos, sin)
         k_full = repeat_kv(k, G)
         v_full = repeat_kv(v, G)
-        out, scores = prefill_attention(
-            q, k_full, v_full, true_len,
-            window_size=comp.window_size,
-            need_colsum_all=need_all, need_colsum_window=need_win,
-            sliding_window=spec.sliding_window,
-            softmax_f32=ecfg.softmax_f32,
-            backend=ecfg.resolve_attn_backend())
+        if sp_mesh is not None:
+            from scope_tpu.ops.ring_attention import sp_prefill_attention
+            out, scores = sp_prefill_attention(
+                sp_mesh, q, k_full, v_full, true_len, seq_axis=sp_axis,
+                window_size=comp.window_size,
+                need_colsum_all=need_all, need_colsum_window=need_win,
+                sliding_window=spec.sliding_window)
+        else:
+            out, scores = prefill_attention(
+                q, k_full, v_full, true_len,
+                window_size=comp.window_size,
+                need_colsum_all=need_all, need_colsum_window=need_win,
+                sliding_window=spec.sliding_window,
+                softmax_f32=ecfg.softmax_f32,
+                backend=ecfg.resolve_attn_backend())
         x = layer_post(spec, p, x, out)
 
         if comp.evict_per_qhead:
