@@ -266,6 +266,9 @@ class EngineConfig:
             return _round_up(max(base, max_num + W) + r + 2, 128)
         w_final = self.decode_budget_cap(comp) + r
         slack = comp.delta + 2  # jump-wave overshoot + append slot
+        if self.decode_chunk_sizes:
+            # In-chunk staging lands a full chunk in one write.
+            slack += max(self.decode_chunk_sizes)
         if self.lazy_evict:
             slack += self.lazy_slack   # tombstoned slots await compaction
         return _round_up(base + w_final + slack, 128)

@@ -700,7 +700,28 @@ def decode_steps(spec: ModelSpec, comp: CompressionConfig,
     (HostScheduler.hot_run_length).  token: [B] the input token; returns
     (tokens [B, n_steps] generated greedily — the last one is the next
     step's input token — plus cache, state).
+
+    IN-CHUNK STAGING: a dynamic_update_slice on the big cache buffers
+    costs a near-full-buffer copy per scan iteration on this hardware
+    (CLAUDE.md; ~13ms/step at 1B b192 int8), so the chunk stages each
+    step's k/v in a chunk-local scratch ring (attention folds
+    cache|scratch|token — the same fold as the persistent staging ring)
+    and lands ALL n tokens with ONE stacked write at the end of the
+    program: the copy is paid once per chunk instead of once per token,
+    with no persistent ring buffers, no flush dispatches, and no host
+    fill bookkeeping.
     """
+    staged = (cache.ring_k is None and comp.method != "quest"
+              and cache.prefill_gap == 0 and n_steps > 1
+              and ecfg.kv_dtype != "int4")
+    if staged:
+        L, B = cache.length.shape
+        rshape = (L, B, cache.k.shape[2], n_steps, cache.k.shape[-1])
+        cache = cache.replace(
+            ring_k=jnp.zeros(rshape, cache.k.dtype),
+            ring_v=jnp.zeros(rshape, cache.v.dtype),
+            ring_fill=jnp.zeros((), jnp.int32))
+
     def body(carry, _):
         tok, vp, cache, state = carry
         logits, cache, state = decode_step(
@@ -713,6 +734,14 @@ def decode_steps(spec: ModelSpec, comp: CompressionConfig,
 
     (tok, vpos, cache, state), toks = lax.scan(
         body, (token, vpos, cache, state), None, length=n_steps)
+    if staged:
+        from scope_tpu.cache import flush_ring
+        cache = flush_ring(
+            cache,
+            uniform_rows=(cache.length.shape[1] == 1
+                          or ecfg.uniform_lengths),
+            uniform_layers=layer_uniform_lengths)
+        cache = cache.replace(ring_k=None, ring_v=None, ring_fill=None)
     return jnp.moveaxis(toks, 0, 1), cache, state
 
 

@@ -30,6 +30,9 @@ CONFIGS = [
     (224, "int8", 0, (), 256),          # 7: push batch under lazy
     (384, "int4", 0, (), 256),          # 8
     (192, "int8", 64, (8,), 256),       # 9: ring + chunks + lazy
+    (160, "int8", 64, (), 256),         # 10: ring at reduced batch
+    (128, "int8", 64, (), 256),         # 11
+    (160, "int8", 0, (), 256),          # 12: no-ring control at b160
 ]
 
 
