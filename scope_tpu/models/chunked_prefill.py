@@ -234,11 +234,13 @@ class ChunkedPrefiller:
     def _fin_fn(self, S: int):
         fn = self._fin_fns.get(S)
         if fn is None:
-            # args: params=0 kbuf=1 vbuf=2 qbuf=3 h_last=4 true_len=5.
-            donate = (1, 2, 3) if self._need_q else (1, 2)
+            # No donation: the finalize pass consumes the [.., S, D]
+            # staging buffers into [.., capacity, D] (possibly quantized)
+            # cache outputs, so no output can alias them — donating here
+            # only produced "donated buffers were not usable" warnings
+            # (the buffers free when the program ends either way).
             fn = jax.jit(partial(_finalize, self.spec, self.comp,
-                                 self.ecfg, self._need_q),
-                         donate_argnums=donate)
+                                 self.ecfg, self._need_q))
             self._fin_fns[S] = fn
         return fn
 

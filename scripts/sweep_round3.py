@@ -33,6 +33,7 @@ CONFIGS = [
     (160, "int8", 64, (), 256),         # 10: ring at reduced batch
     (128, "int8", 64, (), 256),         # 11
     (160, "int8", 0, (), 256),          # 12: no-ring control at b160
+    (192, "int8", 0, (16, 8), 256),     # 13: deeper in-chunk staging
 ]
 
 
