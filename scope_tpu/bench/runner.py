@@ -108,7 +108,8 @@ def run_dataset(args, spec, params, tokenizer, dataset: str, fout):
         max_prompt_len=min(args.max_prompt_len, spec.max_position_embeddings),
         max_new_tokens=out_len, dtype=args.dtype,
         kv_dtype=args.kv_dtype, decode_ring=args.decode_ring,
-        decode_chunk_sizes=tuple(args.decode_chunk_sizes))
+        decode_chunk_sizes=tuple(args.decode_chunk_sizes),
+        lazy_evict=args.lazy_evict, lazy_slack=args.lazy_slack)
     eos_ids = tuple(args.eos_ids) if args.eos_ids else (
         (tokenizer.eos_token_id,) if tokenizer.eos_token_id is not None
         else ())
@@ -183,7 +184,14 @@ def parse_args(argv=None):
                         "full copy per step on TPU)")
     p.add_argument("--decode_chunk_sizes", type=int, nargs="*", default=[],
                    help="dispatch fire-free runs as one multi-step "
-                        "program (largest-first sizes, e.g. 8 4 2)")
+                        "program (largest-first sizes, e.g. 8 4 2); "
+                        "chunks stage their appends and land them in "
+                        "one write (in-chunk staging)")
+    p.add_argument("--lazy_evict", action="store_true",
+                   help="tombstone fires into an alive mask instead of "
+                        "the gather rewrite (host-scheduled methods; "
+                        "amortized compaction every --lazy_slack steps)")
+    p.add_argument("--lazy_slack", type=int, default=256)
     p.add_argument("--kv_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "int8", "int4"],
                    help="KV cache storage dtype (int8: per-channel "
