@@ -36,8 +36,9 @@ def main():
         if len(sys.argv) > 2 and sys.argv[2] != "none" else ()
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     w8 = not (len(sys.argv) > 4 and sys.argv[4] == "bf16")
+    lazy = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     log(f"devices: {jax.devices()} ring={ring} chunks={chunks} "
-        f"batch={batch} w8={w8}")
+        f"batch={batch} w8={w8} lazy={lazy}")
     spec = get_spec("llama-3.2-1b")
     params = llama.init_params(spec, jax.random.key(0), jnp.bfloat16)
     if w8:
@@ -49,7 +50,8 @@ def main():
     ecfg = EngineConfig(
         max_prompt_len=2048, max_new_tokens=7950, dtype="bfloat16",
         uniform_lengths=True, kv_dtype="int8", decode_ring=ring,
-        decode_chunk_sizes=chunks)
+        decode_chunk_sizes=chunks, lazy_evict=bool(lazy),
+        lazy_slack=lazy or 256)
     tok, tl, cache, state = build_state(spec, comp, ecfg, params, 2048,
                                         batch=batch)
     dec = HostScheduledDecoder(spec, comp, ecfg)
@@ -76,11 +78,15 @@ def main():
     _ = jax.device_get(tok)
     log(f"warmup+compile: {time.perf_counter() - t0:.1f}s")
 
-    # Timed: per-dispatch wall, labeled by what the host planned.
+    # Timed: per-dispatch wall, labeled by what the host planned
+    # (hot / fire / compact).  Classification peeks the mirror state.
     events = []
     for _ in range(96):
-        plan_fire = sched.next_fire_in() if hasattr(sched, "next_fire_in") \
-            else None
+        snap = sched._snapshot()
+        will_fire = sched.plan_step().fire
+        compacting = getattr(sched, "lazy", False) and \
+            sched.needs_compact(headroom=1 + sched.ring_fill)
+        sched._restore(snap)
         t0 = time.perf_counter()
         toks, cache, state = dec.step_auto(sched, params, tok, tl + s,
                                            cache, state)
@@ -88,14 +94,25 @@ def main():
         k = toks.shape[1]
         _ = jax.device_get(tok[:1])     # force full sync each dispatch
         dt = time.perf_counter() - t0
-        events.append((dt, k, sched.ring_fill if ring else -1))
+        kind = ("compact+fire" if compacting and will_fire else
+                "compact" if compacting else
+                "fire" if will_fire else
+                "chunk" if k > 1 else "hot")
+        events.append((dt, k, kind))
         s += k
     total_t = sum(e[0] for e in events)
     total_k = sum(e[1] for e in events)
     log(f"aggregate: {total_t / total_k * 1e3:.2f} ms/step "
         f"({batch * total_k / total_t:.0f} tok/s)")
-    for dt, k, rf in events:
-        log(f"  {dt*1e3:8.2f} ms  k={k:3d}  ring_fill={rf}")
+    by = {}
+    for dt, k, kind in events:
+        t, n, c = by.get(kind, (0.0, 0, 0))
+        by[kind] = (t + dt, n + k, c + 1)
+    for kind, (t, n, c) in sorted(by.items()):
+        log(f"  [{kind:12s}] {c:3d} dispatches, {n:4d} tokens, "
+            f"{t / c * 1e3:8.2f} ms/dispatch, {t / n * 1e3:7.2f} ms/token")
+    for dt, k, kind in events[:40]:
+        log(f"  {dt*1e3:8.2f} ms  k={k:3d}  {kind}")
 
 
 if __name__ == "__main__":
