@@ -179,13 +179,19 @@ class ServingEngine:
         logit candidates — a static bound that keeps the per-row
         top_k/top_p masks shape-stable under jit — so top_k=0 / top_p=1.0
         means "unrestricted within the top max_top_k", not the full
-        vocabulary; top_k above max_top_k is clamped.  Raise ``max_top_k``
-        at engine construction if wider tails are needed.
+        vocabulary.  A submit with top_k above the current bound GROWS
+        the bound (next power of two; the row-wise sampler re-jits once)
+        instead of silently truncating the tail.
         """
         if top_k > self.max_top_k:
-            logging.getLogger(__name__).warning(
-                "top_k=%d clamped to engine max_top_k=%d",
-                top_k, self.max_top_k)
+            new_cap = 1 << (int(top_k) - 1).bit_length()
+            logging.getLogger(__name__).info(
+                "growing sampler max_top_k %d -> %d for top_k=%d",
+                self.max_top_k, new_cap, top_k)
+            from scope_tpu.engine.generate import sample_logits_rowwise
+            self.max_top_k = new_cap
+            self._sampler = jax.jit(partial(sample_logits_rowwise,
+                                            max_top_k=new_cap))
         rid = self.sched.submit(len(prompt_ids), max_new)
         if rid < 0:
             raise RuntimeError("scheduler queue full")

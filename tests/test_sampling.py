@@ -142,3 +142,28 @@ def test_serving_per_request_sampling():
                            jnp.asarray(toks),
                            jnp.array([len(prompt)], jnp.int32), 8, -1)
     np.testing.assert_array_equal(np.asarray(gen[0]), np.array(a[0]))
+
+
+def test_submit_grows_sampler_top_k_bound():
+    """A submit with top_k above the engine bound grows the bound (and
+    re-jits the sampler) instead of silently truncating the tail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    from scope_tpu.engine.serving import ServingEngine
+    from scope_tpu.models import llama
+    from scope_tpu.models.registry import TINY_LLAMA
+
+    comp = CompressionConfig(method="allkv", decoding_metric="none")
+    ecfg = EngineConfig(max_prompt_len=128, max_new_tokens=16,
+                        dtype="float32")
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    eng = ServingEngine(TINY_LLAMA, comp, ecfg, params, max_slots=1,
+                        max_top_k=8)
+    rng = np.random.default_rng(0)
+    rid = eng.submit(rng.integers(1, 512, 64).astype(np.int32), 8,
+                     temperature=0.8, top_k=100, seed=3)
+    assert eng.max_top_k == 128
+    out = eng.run()
+    assert len(out[rid]) == 8
