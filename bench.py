@@ -388,9 +388,10 @@ def main():
     # cache slices as HLO temps around its gathers (the r02 b32 OOM); the
     # lazy force has no gathers, so b32 fits again.
     tps_parity = tps_scope4
-    for b, kv, lz in ((32, "int8", 256), (32, "int8", 0),
-                      (16, "int8", 256), (16, "bfloat16", 0),
-                      (8, "bfloat16", 0)):
+    # (32, int8, eager) is a KNOWN compile-OOM (gather slice temps,
+    # r2/r3 logs) — not worth the driver's multi-minute compile attempt.
+    for b, kv, lz in ((32, "int8", 256), (16, "int8", 256),
+                      (16, "bfloat16", 0), (8, "bfloat16", 0)):
         try:
             tps_parity = max(tps_parity,
                              run_scope_only(spec, params, b, kv_dtype=kv,
