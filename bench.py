@@ -403,19 +403,22 @@ def main():
     log(f"[parity-mode best] {tps_parity:.1f} tok/s")
     # Production serving config: per-KV-head eviction + int8 KV +
     # weight-only int8 + LAZY eviction (fires tombstone instead of the
-    # latency-bound gather rewrite; measured r3 sweep: b192 lazy 5620
-    # vs eager 3867 tok/s fire-inclusive; chunks neutral at this batch).
+    # latency-bound gather rewrite) + chunked dispatch with IN-CHUNK
+    # STAGING (the per-step big-buffer append copy lands once per chunk).
+    # Measured r3 sweep, fire-inclusive at b192: eager 3867, lazy 5620,
+    # lazy+chunks(8,) 6837, lazy+chunks(16,8) 7274 tok/s.
     from scope_tpu.ops import quant
     params = quant.quantize_layer_weights(params)
     tps_best = tps_parity
-    for b, lz in ((192, 256), (160, 256), (128, 256), (192, 0)):
+    for b, lz, ch in ((192, 256, (16, 8)), (192, 256, ()),
+                      (160, 256, (16, 8)), (128, 256, ()), (192, 0, ())):
         try:
             tps_best = max(tps_best, run_scope_only(
                 spec, params, b, kv_dtype="int8", evict_per_qhead=False,
-                lazy=lz))
+                lazy=lz, chunks=ch))
             break
         except Exception as e:
-            log(f"batch={b}/int8/kvhead/lazy={lz} run failed "
+            log(f"batch={b}/int8/kvhead/lazy={lz}/chunks={ch} run failed "
                 f"({type(e).__name__}); trying smaller")
     log(f"[serving-config best] {tps_best:.1f} tok/s "
         f"({tps_best / tps_full4:.1f}x full-cache best-batch)")

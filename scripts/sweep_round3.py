@@ -34,6 +34,8 @@ CONFIGS = [
     (128, "int8", 64, (), 256),         # 11
     (160, "int8", 0, (), 256),          # 12: no-ring control at b160
     (192, "int8", 0, (16, 8), 256),     # 13: deeper in-chunk staging
+    (192, "int8", 0, (24, 16, 8), 256), # 14: chunk ~ fire period
+    (224, "int8", 0, (16, 8), 256),     # 15: knee recheck with staging
 ]
 
 
