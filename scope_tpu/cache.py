@@ -139,7 +139,11 @@ def compact_lazy(cache: KVCache, gap: int) -> KVCache:
     L, B, H, cap, D = k.shape
     W = cap - gap
     idx = jnp.arange(W, dtype=jnp.int32)
-    ks, vs, lns = [], [], []
+    lns = []
+    # Per-layer gather + per-layer DUS: chained static-index DUS into a
+    # donated buffer costs the same single copy as one stacked update
+    # (CLAUDE.md) but avoids materializing a cache-sized [L,B,H,W,D]
+    # gather temp next to the buffer — the r3 b192 compile-OOM.
     for l in range(L):
         a = alive[l, :, :, gap:]                           # [B,H,W]
         # Stable order-preserving ranks: dead slots sink past W.
@@ -150,12 +154,10 @@ def compact_lazy(cache: KVCache, gap: int) -> KVCache:
         vblk = jnp.take_along_axis(v[l, :, :, gap:], perm[..., None],
                                    axis=2)
         cnt = a.sum(axis=-1).astype(jnp.int32)             # [B,H]
-        ks.append(kblk)
-        vs.append(vblk)
+        k = lax.dynamic_update_slice(k, kblk[None], (l, 0, 0, gap, 0))
+        v = lax.dynamic_update_slice(v, vblk[None], (l, 0, 0, gap, 0))
         # Fire keep-counts are head-uniform; head 0 is authoritative.
         lns.append(gap + cnt[:, 0])
-    k = lax.dynamic_update_slice(k, jnp.stack(ks), (0, 0, 0, gap, 0))
-    v = lax.dynamic_update_slice(v, jnp.stack(vs), (0, 0, 0, gap, 0))
     # All slots reset alive: [new_len, old_len) hold stale rows masked by
     # the shrunk length, and future appends overwrite them in order.
     return cache.replace(k=k, v=v, alive=jnp.ones_like(alive),

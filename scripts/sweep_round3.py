@@ -36,6 +36,10 @@ CONFIGS = [
     (192, "int8", 0, (16, 8), 256),     # 13: deeper in-chunk staging
     (192, "int8", 0, (24, 16, 8), 256), # 14: chunk ~ fire period
     (224, "int8", 0, (16, 8), 256),     # 15: knee recheck with staging
+    (192, "int8", 0, (32, 16, 8), 256), # 16: even deeper staging
+    (192, "int4", 0, (16, 8), 256),     # 17: int4 KV + staged chunks
+    (256, "int8", 0, (16, 8), 256),     # 18: batch push with staging
+    (160, "int8", 0, (16, 8), 256),     # 19: knee recheck (down)
 ]
 
 
