@@ -351,15 +351,17 @@ def run_8b_leg(lazy=256):
     params = fake_params_int8(spec)
     scope = full = None
     sb = fb = 0
-    for b in (24, 16, 8):
+    for b, ch in ((24, (16, 8)), (24, ()), (16, (16, 8)), (16, ()),
+                  (8, ())):
         try:
             scope = run_scope_only(spec, params, b, kv_dtype="int8",
                                    evict_per_qhead=False, lazy=lazy,
-                                   prefill_batch=4)
+                                   chunks=ch, prefill_batch=4)
             sb = b
             break
         except Exception as e:
-            log(f"8B scope b{b} failed ({type(e).__name__}); smaller")
+            log(f"8B scope b{b}/chunks={ch} failed "
+                f"({type(e).__name__}); smaller")
     from scope_tpu.config import CompressionConfig, EngineConfig
     comp_full = CompressionConfig(method="allkv", decoding_metric="none",
                                   evict_per_qhead=False)

@@ -712,8 +712,7 @@ def decode_steps(spec: ModelSpec, comp: CompressionConfig,
     fill bookkeeping.
     """
     staged = (cache.ring_k is None and comp.method != "quest"
-              and cache.prefill_gap == 0 and n_steps > 1
-              and ecfg.kv_dtype != "int4")
+              and cache.prefill_gap == 0 and n_steps > 1)
     if staged:
         L, B = cache.length.shape
         rshape = (L, B, cache.k.shape[2], n_steps, cache.k.shape[-1])

@@ -73,18 +73,25 @@ MARGIN4 = 1.25
 
 
 def pack4(codes: jnp.ndarray) -> jnp.ndarray:
-    """codes [..., D] integer-valued in [0, 15] -> [..., D//2] uint8
-    (channel 2i in the low nibble, 2i+1 in the high nibble)."""
+    """codes [..., D] integer-valued in [0, 15] -> [..., D//2] uint8.
+
+    PLANAR nibble layout: byte j holds channel j in the low nibble and
+    channel j + D//2 in the high nibble.  Unpacking is then a concat of
+    two elementwise-shifted views of the packed buffer — no size-2
+    minor axis.  The earlier interleaved layout (2i/2i+1) unpacked via
+    stack+reshape, whose [..., D2, 2] intermediate tiles the size-2 dim
+    to a 128 lane on TPU (64x padding + relayout): int4 decode measured
+    253 ms/step at b192 vs ~26 for int8."""
     c = codes.astype(jnp.uint8)
-    return c[..., 0::2] | (c[..., 1::2] << 4)
+    d2 = c.shape[-1] // 2
+    return c[..., :d2] | (c[..., d2:] << 4)
 
 
 def unpack4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """[..., D2] uint8 -> [..., 2*D2] codes in [0, 15] as ``dtype``."""
     lo = (packed & 0xF).astype(dtype)
     hi = (packed >> 4).astype(dtype)
-    return jnp.stack([lo, hi], axis=-1).reshape(
-        *packed.shape[:-1], packed.shape[-1] * 2)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def calibrate4(x: jnp.ndarray, valid=None, axis: int = -2):
