@@ -124,6 +124,48 @@ def init_cache(num_layers: int, batch: int, num_heads: int, capacity: int,
     )
 
 
+def compact_gather(cache: KVCache, gap: int):
+    """Phase 1 of lazy compaction: gather the live slots of the
+    evictable window [gap, cap) to the front of fresh blocks, preserving
+    append order.  Returns (kblk, vblk, lns): [L,B,H,W,D] x2 + [L,B].
+
+    Split from the write-back so neither program both reads and
+    rewrites the big buffers: a fused gather-from-self + whole-buffer
+    update makes XLA plan a full cache copy next to the donated input
+    (8.9GB at 1B b192 int8 — deterministic compile-OOM on a 16GB chip).
+    Here the cache is read-only (undonated) and the outputs are
+    window-sized; compact_write is then a pure donated DUS, which
+    aliases in place like every append/flush."""
+    k, v, alive = cache.k, cache.v, cache.alive
+    L, B, H, cap, D = k.shape
+    W = cap - gap
+    idx = jnp.arange(W, dtype=jnp.int32)
+    ks, vs, lns = [], [], []
+    for l in range(L):
+        a = alive[l, :, :, gap:]                           # [B,H,W]
+        # Stable order-preserving ranks: dead slots sink past W.
+        key = jnp.where(a, idx[None, None, :], W + idx[None, None, :])
+        perm = jnp.argsort(key, axis=-1)                   # [B,H,W]
+        ks.append(jnp.take_along_axis(k[l, :, :, gap:], perm[..., None],
+                                      axis=2))
+        vs.append(jnp.take_along_axis(v[l, :, :, gap:], perm[..., None],
+                                      axis=2))
+        cnt = a.sum(axis=-1).astype(jnp.int32)             # [B,H]
+        # Fire keep-counts are head-uniform; head 0 is authoritative.
+        lns.append(gap + cnt[:, 0])
+    return jnp.stack(ks), jnp.stack(vs), jnp.stack(lns)
+
+
+def compact_write(cache: KVCache, kblk, vblk, lns, gap: int) -> KVCache:
+    """Phase 2: land the compacted window (pure DUS, donation-safe)."""
+    k = lax.dynamic_update_slice(cache.k, kblk, (0, 0, 0, gap, 0))
+    v = lax.dynamic_update_slice(cache.v, vblk, (0, 0, 0, gap, 0))
+    # All slots reset alive: [new_len, old_len) hold stale rows masked by
+    # the shrunk length, and future appends overwrite them in order.
+    return cache.replace(k=k, v=v, alive=jnp.ones_like(cache.alive),
+                         length=lns)
+
+
 def compact_lazy(cache: KVCache, gap: int) -> KVCache:
     """Reclaim tombstoned slots: move live slots of [gap, cap) to the
     front of that region, preserving append order.
@@ -134,34 +176,10 @@ def compact_lazy(cache: KVCache, gap: int) -> KVCache:
     same count per head, so post-compaction lengths are head-uniform and
     ``length`` becomes gap + live-count.  The expensive gather (latency-
     bound row DMA) runs HERE, once per ~lazy_slack steps, instead of on
-    every fire."""
-    k, v, alive = cache.k, cache.v, cache.alive
-    L, B, H, cap, D = k.shape
-    W = cap - gap
-    idx = jnp.arange(W, dtype=jnp.int32)
-    lns = []
-    # Per-layer gather + per-layer DUS: chained static-index DUS into a
-    # donated buffer costs the same single copy as one stacked update
-    # (CLAUDE.md) but avoids materializing a cache-sized [L,B,H,W,D]
-    # gather temp next to the buffer — the r3 b192 compile-OOM.
-    for l in range(L):
-        a = alive[l, :, :, gap:]                           # [B,H,W]
-        # Stable order-preserving ranks: dead slots sink past W.
-        key = jnp.where(a, idx[None, None, :], W + idx[None, None, :])
-        perm = jnp.argsort(key, axis=-1)                   # [B,H,W]
-        kblk = jnp.take_along_axis(k[l, :, :, gap:], perm[..., None],
-                                   axis=2)
-        vblk = jnp.take_along_axis(v[l, :, :, gap:], perm[..., None],
-                                   axis=2)
-        cnt = a.sum(axis=-1).astype(jnp.int32)             # [B,H]
-        k = lax.dynamic_update_slice(k, kblk[None], (l, 0, 0, gap, 0))
-        v = lax.dynamic_update_slice(v, vblk[None], (l, 0, 0, gap, 0))
-        # Fire keep-counts are head-uniform; head 0 is authoritative.
-        lns.append(gap + cnt[:, 0])
-    # All slots reset alive: [new_len, old_len) hold stale rows masked by
-    # the shrunk length, and future appends overwrite them in order.
-    return cache.replace(k=k, v=v, alive=jnp.ones_like(alive),
-                         length=jnp.stack(lns))
+    every fire.  Single-program reference form; the host loop dispatches
+    the two phases as separate jits (see compact_gather)."""
+    kblk, vblk, lns = compact_gather(cache, gap)
+    return compact_write(cache, kblk, vblk, lns, gap)
 
 
 def flush_ring(cache: KVCache, uniform_rows: bool,

@@ -80,16 +80,24 @@ class HostScheduledDecoder:
                              else comp.max_capacity_prompt)
 
     def _get_compact_fn(self):
-        from scope_tpu.cache import compact_lazy
+        from scope_tpu.cache import compact_gather, compact_write
         if self._compact_fn is None:
-            self._compact_fn = jax.jit(
-                partial(compact_lazy, gap=self._compact_gap),
-                donate_argnums=(0,))
+            # Two dispatches: the gather must NOT be fused with the
+            # write-back (gather-from-self + whole-buffer DUS makes XLA
+            # plan a full cache copy beside the donated input — compile-
+            # OOM at 1B b192 int8).  The gather call leaves the cache
+            # undonated; the write is a pure DUS that aliases in place.
+            self._compact_fn = (
+                jax.jit(partial(compact_gather, gap=self._compact_gap)),
+                jax.jit(partial(compact_write, gap=self._compact_gap),
+                        donate_argnums=(0, 1, 2)))
         return self._compact_fn
 
     def compact(self, sched, cache):
         """Dispatch the amortized lazy compaction; mirror it on the host."""
-        cache = self._get_compact_fn()(cache)
+        gather_fn, write_fn = self._get_compact_fn()
+        kblk, vblk, lns = gather_fn(cache)
+        cache = write_fn(cache, kblk, vblk, lns)
         sched.compacted()
         return cache
 

@@ -339,7 +339,9 @@ class ServingEngine:
                    for sc in scheds):
             return
         self._flush_ring()
-        self.cache = self._hdec._get_compact_fn()(self.cache)
+        gather_fn, write_fn = self._hdec._get_compact_fn()
+        kblk, vblk, lns = gather_fn(self.cache)
+        self.cache = write_fn(self.cache, kblk, vblk, lns)
         for sc in scheds:
             sc.compacted()
 

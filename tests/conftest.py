@@ -59,6 +59,7 @@ _SLOW = {
     ("test_lazy_evict", "test_lazy_matches_eager_tokens_and_live_counts"),
     ("test_lazy_evict", "test_lazy_compaction_mid_run"),
     ("test_elastic", "test_run_recovers_from_injected_failure"),
+    ("test_serving", "test_serving_lazy_compaction_matches"),
 }
 
 

@@ -354,3 +354,53 @@ def test_serving_quest_chunked_dispatch_matches():
     for rid, rid2 in zip(ids, ids2):
         np.testing.assert_array_equal(np.array(base[rid]),
                                       np.array(chunked[rid2]))
+
+
+def test_serving_lazy_compaction_matches():
+    """Lazy eviction in serving with a tiny lazy_slack forces the
+    two-phase compaction (_compact_if_needed -> compact_gather +
+    compact_write) mid-run.
+
+    Lazy attention is exact-arithmetic-identical to eager but sums the
+    softmax in a different slot order (holes vs compacted), so greedy
+    argmax can legitimately flip on near-ties deep into a sequence
+    (measured: first flips ~step 60+ at tiny scale).  The contract
+    asserted here: compaction fires, an early prefix is token-identical,
+    and the host mirrors agree with the eager engine's live lengths."""
+    import dataclasses
+    comp = CompressionConfig(method="h2o", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=32,
+                             decoding_recent_size=16, delta=3)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120, 90)]
+
+    ecfg = dataclasses.replace(ECFG, max_new_tokens=96)
+    eng_ref = ServingEngine(TINY_LLAMA, comp, ecfg, params, max_slots=2)
+    ids_ref = [eng_ref.submit(p, 80) for p in prompts]
+    res_ref = eng_ref.run()
+
+    ecfg_l = dataclasses.replace(ecfg, lazy_evict=True, lazy_slack=4)
+    eng_l = ServingEngine(TINY_LLAMA, comp, ecfg_l, params, max_slots=2)
+    compacts = []
+    orig = eng_l._hdec._get_compact_fn
+
+    def spy():
+        g, w = orig()
+        return (lambda c: (compacts.append(1), g(c))[1]), w
+
+    eng_l._hdec._get_compact_fn = spy
+    ids_l = [eng_l.submit(p, 80) for p in prompts]
+    res_l = eng_l.run()
+
+    assert compacts, "lazy_slack=4 must force at least one compaction"
+    for rr, rl in zip(ids_ref, ids_l):
+        a, b = np.array(res_ref[rr]), np.array(res_l[rl])
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a[:32], b[:32])
+    # Host mirror sanity: tombstones outstanding but never overflowed.
+    for sc in eng_l._slot_scheds:
+        if sc is not None:
+            assert sc.length <= sc.phys < sc.capacity
