@@ -140,20 +140,26 @@ def compact_gather(cache: KVCache, gap: int):
     L, B, H, cap, D = k.shape
     W = cap - gap
     idx = jnp.arange(W, dtype=jnp.int32)
-    ks, vs, lns = [], [], []
-    for l in range(L):
-        a = alive[l, :, :, gap:]                           # [B,H,W]
+
+    # lax.scan over the layer axis SERIALIZES the per-layer slice/gather
+    # temps — an unrolled loop kept all L layers' temps live at once
+    # (16 x ~340MB at 1B b192 int8 = 21GB planned, compile-OOM).  The
+    # scan reads xs slices per iteration (read-only dynamic_slice, no
+    # buffer copy) and stacks the window-sized outputs.
+    def body(_, xs):
+        kl, vl, al = xs                                     # [B,H,cap,D]
+        a = al[:, :, gap:]                                  # [B,H,W]
         # Stable order-preserving ranks: dead slots sink past W.
         key = jnp.where(a, idx[None, None, :], W + idx[None, None, :])
-        perm = jnp.argsort(key, axis=-1)                   # [B,H,W]
-        ks.append(jnp.take_along_axis(k[l, :, :, gap:], perm[..., None],
-                                      axis=2))
-        vs.append(jnp.take_along_axis(v[l, :, :, gap:], perm[..., None],
-                                      axis=2))
-        cnt = a.sum(axis=-1).astype(jnp.int32)             # [B,H]
+        perm = jnp.argsort(key, axis=-1)[..., None]         # [B,H,W,1]
+        kb = jnp.take_along_axis(kl[:, :, gap:], perm, axis=2)
+        vb = jnp.take_along_axis(vl[:, :, gap:], perm, axis=2)
         # Fire keep-counts are head-uniform; head 0 is authoritative.
-        lns.append(gap + cnt[:, 0])
-    return jnp.stack(ks), jnp.stack(vs), jnp.stack(lns)
+        ln = gap + a.sum(axis=-1).astype(jnp.int32)[:, 0]   # [B]
+        return 0, (kb, vb, ln)
+
+    _, (kblk, vblk, lns) = lax.scan(body, 0, (k, v, alive))
+    return kblk, vblk, lns
 
 
 def compact_write(cache: KVCache, kblk, vblk, lns, gap: int) -> KVCache:
