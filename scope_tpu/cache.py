@@ -146,14 +146,34 @@ def compact_gather(cache: KVCache, gap: int):
     # (16 x ~340MB at 1B b192 int8 = 21GB planned, compile-OOM).  The
     # scan reads xs slices per iteration (read-only dynamic_slice, no
     # buffer copy) and stacks the window-sized outputs.
+    def permute(x, perm):
+        """x [B,H,W,D] gathered at perm [B,H,W] along the slot axis —
+        as a one-hot MATMUL, not a gather.  Row gathers over 64-byte KV
+        rows are latency-bound DMA (~4GB/s effective: 805ms per compact
+        at 1B b192 int8); the equivalent one-hot dot rides the MXU
+        (~5 T-ops for the same compact).  Exact for 0/1 coefficients in
+        every cache dtype (int8/uint8 accumulate in int32; floats hit
+        one nonzero term per row)."""
+        oh = perm[..., None] == idx[None, None, None, :]    # [B,H,W,W]
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # uint8 codes round-trip exactly through the int8 reinterpret
+            # (two's complement) and the truncating int32 -> uint8 cast.
+            out = jnp.einsum("bhij,bhjd->bhid", oh.astype(jnp.int8),
+                             x.astype(jnp.int8),
+                             preferred_element_type=jnp.int32)
+            return out.astype(x.dtype)
+        return jnp.einsum("bhij,bhjd->bhid", oh.astype(x.dtype), x,
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
+
     def body(_, xs):
         kl, vl, al = xs                                     # [B,H,cap,D]
         a = al[:, :, gap:]                                  # [B,H,W]
         # Stable order-preserving ranks: dead slots sink past W.
         key = jnp.where(a, idx[None, None, :], W + idx[None, None, :])
-        perm = jnp.argsort(key, axis=-1)[..., None]         # [B,H,W,1]
-        kb = jnp.take_along_axis(kl[:, :, gap:], perm, axis=2)
-        vb = jnp.take_along_axis(vl[:, :, gap:], perm, axis=2)
+        perm = jnp.argsort(key, axis=-1)                    # [B,H,W]
+        kb = permute(kl[:, :, gap:], perm)
+        vb = permute(vl[:, :, gap:], perm)
         # Fire keep-counts are head-uniform; head 0 is authoritative.
         ln = gap + a.sum(axis=-1).astype(jnp.int32)[:, 0]   # [B]
         return 0, (kb, vb, ln)
