@@ -426,8 +426,9 @@ def main():
     # weight-only int8 + LAZY eviction (fires tombstone instead of the
     # latency-bound gather rewrite) + chunked dispatch with IN-CHUNK
     # STAGING (the per-step big-buffer append copy lands once per chunk).
-    # Measured r3 sweep, fire-inclusive at b192: eager 3867, lazy 5620,
-    # lazy+chunks(8,) 6837, lazy+chunks(16,8) 7274 tok/s.
+    # Measured r3, fire-AND-compaction-inclusive at b192: eager 3867,
+    # lazy 5620, lazy+chunks(8,) 6837, lazy+chunks(16,8) 7212 tok/s
+    # (hot 26.4ms/step + 0.17ms amortized one-hot-matmul compaction).
     from scope_tpu.ops import quant
     params = quant.quantize_layer_weights(params)
     tps_best = tps_parity
