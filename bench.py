@@ -216,12 +216,16 @@ def run_pair(spec, params, batch, prompt_len=2048):
     import jax.numpy as jnp
     from scope_tpu.config import CompressionConfig, EngineConfig
 
+    # BOTH sides get in-chunk staging (the per-step big-buffer append
+    # copy amortizes once per chunk) — compression is the variable under
+    # test, not the engine's dispatch machinery.
     comp_scope = CompressionConfig(
         method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
         window_size=8, decoding_window_size=512, decoding_recent_size=256,
         delta=(7950 - 256) // (512 - 256))
     ecfg_scope = EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
-                              dtype="bfloat16", uniform_lengths=True)
+                              dtype="bfloat16", uniform_lengths=True,
+                              decode_chunk_sizes=(16, 8))
     log(f"[batch={batch}] scope cache capacity: "
         f"{ecfg_scope.cache_capacity(comp_scope)}")
     tps_scope = measure_decode(spec, comp_scope, ecfg_scope, params,
@@ -233,7 +237,8 @@ def run_pair(spec, params, batch, prompt_len=2048):
 
     comp_full = CompressionConfig(method="allkv", decoding_metric="none")
     ecfg_full = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,
-                             dtype="bfloat16", uniform_lengths=True)
+                             dtype="bfloat16", uniform_lengths=True,
+                             decode_chunk_sizes=(16, 8))
     cap_full = ecfg_full.cache_capacity(comp_full)
     fake_len = min(10000, cap_full - 200)
     log(f"[batch={batch}] full cache capacity: {cap_full}, "
@@ -367,7 +372,7 @@ def run_8b_leg(lazy=256):
                                   evict_per_qhead=False)
     ecfg_full = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,
                              dtype="bfloat16", uniform_lengths=True,
-                             kv_dtype="int8")
+                             kv_dtype="int8", decode_chunk_sizes=(16, 8))
     cap_full = ecfg_full.cache_capacity(comp_full)
     fake_len = min(10000, cap_full - 200)
     for b in (8, 4, 2):

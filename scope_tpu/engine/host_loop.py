@@ -90,7 +90,7 @@ class HostScheduledDecoder:
             self._compact_fn = (
                 jax.jit(partial(compact_gather, gap=self._compact_gap)),
                 jax.jit(partial(compact_write, gap=self._compact_gap),
-                        donate_argnums=(0, 1, 2)))
+                        donate_argnums=(0,)))
         return self._compact_fn
 
     def compact(self, sched, cache):
