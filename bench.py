@@ -101,6 +101,13 @@ def measure_decode(spec, comp, ecfg, params, prompt_len, steps=64,
         sched = dec.new_scheduler(prompt_len)
         if fake_len is not None:
             sched.length = fake_len   # mirror the simulated cache length
+            if hasattr(sched, "phys"):
+                # r3 split phys from length (lazy eviction); without this
+                # the bucket ladder sized attention off the un-simulated
+                # prefill length (4096-bucket at a 10k cache — and the
+                # mis-bucketed big-slice program ran 2x SLOWER than the
+                # honest full-width one: 24.6 vs 12.9 ms/step at 1B b4).
+                sched.phys = fake_len
 
         def step_fn(p, t, v, c, st):
             # step_auto chunks fire-free runs when ecfg.decode_chunk_sizes
@@ -124,6 +131,8 @@ def measure_decode(spec, comp, ecfg, params, prompt_len, steps=64,
         sim = dec.new_scheduler(prompt_len)
         if fake_len is not None:
             sim.length = fake_len
+            if hasattr(sim, "phys"):
+                sim.phys = fake_len
         ff = 0
         while ff < 100_000:
             p = sim.plan_step()
