@@ -23,13 +23,45 @@ from __future__ import annotations
 import json
 import sys
 import time
+import traceback
 from functools import partial
 
 import numpy as np
 
+# v5e HBM bandwidth per chip (roofline denominator for the hbm_gbps
+# fields; decode is bandwidth-bound so tok/s ~ bytes-per-step / BW).
+HBM_GBPS_PEAK = 819.0
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _tree_bytes(params) -> int:
+    import jax
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(params)
+               if hasattr(x, "dtype"))
+
+
+def roofline(spec, params, batch, tps, live_len, kv_bytes=2):
+    """Achieved HBM GB/s and % of the chip roofline for a decode rate.
+
+    Bytes per step = full weight stream + the attention read of every
+    live KV slot (batch x live_len x layers x kv_heads x head_dim x 2
+    tensors x kv_bytes).  Append writes and activations are <1% and
+    ignored.  Keeps the remaining headroom visible every round
+    (VERDICT r3 #8)."""
+    if not tps:
+        return None
+    w = _tree_bytes(params)
+    kv_heads = getattr(spec, "num_kv_heads", spec.num_heads)
+    kv = batch * live_len * spec.num_layers * kv_heads * spec.head_dim \
+        * 2 * kv_bytes
+    step_t = batch / tps
+    gbps = (w + kv) / step_t / 1e9
+    return {"hbm_gbps": round(gbps, 1),
+            "roofline_pct": round(100 * gbps / HBM_GBPS_PEAK, 1)}
 
 
 def build_state(spec, comp, ecfg, params, prompt_len, batch=1,
@@ -352,6 +384,104 @@ def fake_params_int8(spec, seed: int = 0):
     return params
 
 
+def measure_matched_fullcache(spec, params_int8, prompt_len=2048):
+    """Weight-format-MATCHED full-cache baseline: int8 weights + int8 KV
+    at the 10k simulated context, best feasible batch (VERDICT r3 #2 —
+    the best-config headline conflated compression with quantization;
+    this leg isolates compression).  Returns (tok_s, batch)."""
+    from scope_tpu.config import CompressionConfig, EngineConfig
+
+    comp = CompressionConfig(method="allkv", decoding_metric="none",
+                             evict_per_qhead=False)
+    ecfg = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,
+                        dtype="bfloat16", uniform_lengths=True,
+                        kv_dtype="int8", decode_chunk_sizes=(16, 8))
+    cap = ecfg.cache_capacity(comp)
+    fake_len = min(10000, cap - 200)
+    for b in (32, 16, 8, 4):
+        try:
+            tps = measure_decode(spec, comp, ecfg, params_int8, prompt_len,
+                                 fake_len=fake_len, batch=b,
+                                 prefill_batch=8)
+            log(f"[matched full-cache b{b} int8w/int8kv] {tps:.1f} tok/s")
+            return tps, b
+        except Exception as e:
+            log(f"matched full-cache b{b} failed: {type(e).__name__}: {e}")
+            log(traceback.format_exc(limit=3))
+    return None, 0
+
+
+def run_serving_engine(spec, params, batch, *, prompt_len=2048,
+                       max_new=7950, lazy=256, chunks=(16, 8),
+                       timed_steps=None, P=2048, W=512, r=256,
+                       dtype="bfloat16", kv_dtype="int8"):
+    """Decode tok/s through the REAL ServingEngine (admissions, host
+    scheduling, chunked dispatch, pipelined fetches) instead of the raw
+    measure_decode loop (VERDICT r3 #7).  Warms past the first fire wave
+    (deterministic, host-simulated), then times a fire-inclusive window.
+    """
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    from scope_tpu.engine.serving import ServingEngine
+
+    comp = CompressionConfig(
+        method="h2o", decoding_metric="jump", max_capacity_prompt=P,
+        window_size=8, decoding_window_size=W, decoding_recent_size=r,
+        delta=max(1, (max_new - r) // (W - r)), evict_per_qhead=False)
+    ecfg = EngineConfig(max_prompt_len=prompt_len, max_new_tokens=max_new,
+                        dtype=dtype, uniform_lengths=True,
+                        kv_dtype=kv_dtype, decode_chunk_sizes=tuple(chunks),
+                        lazy_evict=bool(lazy), lazy_slack=lazy or 256)
+    eng = ServingEngine(spec, comp, ecfg, params, max_slots=batch,
+                        pipeline_depth=1)
+    rng = np.random.default_rng(0)
+    for _ in range(batch):
+        eng.submit(rng.integers(1, spec.vocab_size,
+                                prompt_len).astype(np.int32), max_new)
+
+    # First fire step (host mirror is deterministic given lengths).
+    sim = eng._hdec.new_scheduler(prompt_len)
+    ff = 0
+    while ff < 100_000:
+        p = sim.plan_step()
+        if (p.fire_any if hasattr(p, "fire_any") else p.fire):
+            break
+        ff += 1
+    chunk = max(chunks) if chunks else 1
+    warm_target = ff + comp.delta + 2 * chunk + 2
+
+    import jax
+    t0 = time.perf_counter()
+    while min((s.dispatched for s in eng.slots if s.active),
+              default=warm_target) < warm_target or \
+            any(not s.active for s in eng.slots):
+        if not eng.step():
+            break
+    _ = jax.device_get(eng._tok_dev)
+    log(f"  serving warm (admissions + {warm_target} steps): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    # Auto window: fire-inclusive, >= 2 full jump periods.  An explicit
+    # timed_steps (smoke tests) is honored as-is.
+    steps = (timed_steps if timed_steps is not None
+             else max(128, 2 * comp.delta + 2 * chunk))
+    rates = []
+    for _rep in range(2):
+        n0 = sum(s.dispatched for s in eng.slots)
+        t0 = time.perf_counter()
+        while sum(s.dispatched for s in eng.slots) - n0 < steps * batch:
+            if not eng.step():
+                break             # all requests drained (short smoke runs)
+        _ = jax.device_get(eng._tok_dev)
+        dt = time.perf_counter() - t0
+        n = sum(s.dispatched for s in eng.slots) - n0
+        if n:
+            rates.append(n / dt)
+    tps = min(rates)
+    log(f"[serving-engine b{batch}] {tps:.1f} tok/s "
+        f"(reps {[f'{r:.0f}' for r in rates]})")
+    return tps
+
+
 def run_8b_leg(lazy=256):
     """North-star shapes (BASELINE.json: decode tok/s/chip at 8B under
     20% KV budget): Llama-3-8B weight-int8 + int8 KV on one v5e chip.
@@ -374,8 +504,11 @@ def run_8b_leg(lazy=256):
             sb = b
             break
         except Exception as e:
-            log(f"8B scope b{b}/chunks={ch} failed "
-                f"({type(e).__name__}); smaller")
+            # Full traceback: a genuine regression must not degrade
+            # silently into a smaller-batch headline (ADVICE r3).
+            log(f"8B scope b{b}/chunks={ch} failed: "
+                f"{type(e).__name__}: {e}")
+            log(traceback.format_exc(limit=3))
     from scope_tpu.config import CompressionConfig, EngineConfig
     comp_full = CompressionConfig(method="allkv", decoding_metric="none",
                                   evict_per_qhead=False)
@@ -393,7 +526,8 @@ def run_8b_leg(lazy=256):
             log(f"[8B full-cache b{b}] {full:.1f} tok/s")
             break
         except Exception as e:
-            log(f"8B full b{b} failed ({type(e).__name__}); smaller")
+            log(f"8B full b{b} failed: {type(e).__name__}: {e}")
+            log(traceback.format_exc(limit=3))
     return scope, full, sb, fb
 
 
@@ -458,23 +592,62 @@ def main():
                 f"({type(e).__name__}); trying smaller")
     log(f"[serving-config best] {tps_best:.1f} tok/s "
         f"({tps_best / tps_full4:.1f}x full-cache best-batch)")
+    # Weight-format-MATCHED baseline: full cache at 10k with the SAME
+    # int8 weights + int8 KV, its own best batch — isolates compression
+    # from quantization (VERDICT r3 #2).  `params` is already quantized.
+    tps_full_matched, mb = measure_matched_fullcache(spec, params)
+    if tps_full_matched:
+        log(f"[matched ratio] {tps_best / tps_full_matched:.2f}x "
+            f"(scope b192 int8 vs full-cache b{mb} int8)")
+    # Roofline accounting for the headline (live cache ~2048+512+staging
+    # slots at int8) and the matched baseline (10k at int8).
+    rl_best = roofline(spec, params, 192, tps_best, 2650, kv_bytes=1)
+    rl_matched = roofline(spec, params, mb, tps_full_matched, 10000,
+                          kv_bytes=1)
+    log(f"[roofline] headline {rl_best}, matched-baseline {rl_matched}")
     # North-star shapes: Llama-3-8B (BASELINE.json) on the one chip.
     del params
-    b8_scope = b8_full = None
+    b8_scope = b8_full = b8_serving = None
     sb = fb = 0
+    rl_8b = None
     try:
         b8_scope, b8_full, sb, fb = run_8b_leg()
     except Exception as e:
         log(f"8B leg failed entirely: {type(e).__name__}: {e}")
+        log(traceback.format_exc(limit=5))
+    if b8_scope:
+        from scope_tpu.models.registry import get_spec as _gs
+        spec8 = _gs("llama-3-8b")
+        params8 = fake_params_int8(spec8)
+        rl_8b = roofline(spec8, params8, sb, b8_scope, 2650, kv_bytes=1)
+        # 8B through the REAL serving engine at the raw-loop's batch
+        # (VERDICT r3 #7): admissions + chunked dispatch + pipelined
+        # fetches should land within ~10% of the raw loop.
+        try:
+            b8_serving = run_serving_engine(spec8, params8, sb)
+        except Exception as e:
+            log(f"8B serving leg failed: {type(e).__name__}: {e}")
+            log(traceback.format_exc(limit=5))
+        del params8
     result = {
         "metric": ("decode_tok_per_s_1B_scope_h2o_jump_best_serving"
                    "_config_vs_fullcache_10k_best_batch"),
         "value": round(tps_best, 2),
         "unit": "tok/s/chip",
         "vs_baseline": round(tps_best / tps_full4, 3),
+        "vs_baseline_matched": (round(tps_best / tps_full_matched, 3)
+                                if tps_full_matched else None),
+        "matched_fullcache_tok_s": (tps_full_matched
+                                    and round(tps_full_matched, 2)),
+        "matched_fullcache_batch": mb,
         "parity_mode_tok_s": round(tps_parity, 2),
+        "hbm_gbps": rl_best and rl_best["hbm_gbps"],
+        "roofline_pct": rl_best and rl_best["roofline_pct"],
         "b8_scope_tok_s": b8_scope and round(b8_scope, 2),
         "b8_scope_batch": sb,
+        "b8_serving_tok_s": b8_serving and round(b8_serving, 2),
+        "b8_hbm_gbps": rl_8b and rl_8b["hbm_gbps"],
+        "b8_roofline_pct": rl_8b and rl_8b["roofline_pct"],
         "b8_fullcache_tok_s": b8_full and round(b8_full, 2),
         "b8_fullcache_batch": fb,
         "b8_vs_fullcache": (round(b8_scope / b8_full, 3)

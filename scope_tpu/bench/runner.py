@@ -83,6 +83,12 @@ def build_compression(args, output_len: int, dataset: str
         decoding_recent_size=args.decoding_recent_size,
         delta=delta, chunk_size=args.chunk_size,
         evict_per_qhead=not args.evict_per_kv_head,
+        # Headwise: the reserved per-head segment tracks the prompt
+        # budget P (reference intent: prefill_max_budget=2048 at the
+        # default P=2048, headwise_attention.py:24); min budget 128
+        # (:26), clamped for sub-128 smoke budgets.
+        headwise_max_budget=P,
+        headwise_min_budget=min(128, P),
     )
 
 

@@ -9,7 +9,7 @@ MODEL=${1:?model path or spec name}
 SAVE=${2:?save dir}
 DATA=${3:-}
 
-methods=(allkv pyramidkv snapkv h2o streamingllm quest)
+methods=(allkv pyramidkv snapkv h2o streamingllm quest headwise)
 metrics=(None fixed linear jump)
 
 extra=()

@@ -8,7 +8,7 @@
 set -e
 cd "$(dirname "$0")/.."
 SAVE=${1:-results/tiny_cpu_sweep}
-for method in allkv h2o snapkv pyramidkv streamingllm quest; do
+for method in allkv h2o snapkv pyramidkv streamingllm quest headwise; do
   for metric in None fixed linear jump; do
     echo "=== $method / $metric ==="
     python -m scope_tpu.bench.runner \

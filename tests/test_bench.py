@@ -162,3 +162,64 @@ def test_runner_kv_dtype_int8(tmp_path):
     assert out.exists()
     rec = json.loads(out.read_text().splitlines()[0])
     assert rec["gen_length"] >= 1
+
+
+# ------------------------- bench.py drivers ---------------------------------
+
+def test_run_serving_engine_smoke():
+    """bench.run_serving_engine (the 8B serving leg) must run end-to-end
+    at tiny scale on CPU: admissions, fire-warm simulation, timed window,
+    positive rate."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+    import jax
+    import jax.numpy as jnp
+    from scope_tpu.models import llama
+    from scope_tpu.models.registry import TINY_LLAMA
+
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    tps = bench.run_serving_engine(
+        TINY_LLAMA, params, 2, prompt_len=64, max_new=400, lazy=16,
+        chunks=(4, 2), timed_steps=8, P=32, W=16, r=8,
+        dtype="float32", kv_dtype="float32")
+    assert tps > 0
+
+
+def test_roofline_fields():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+    import jax
+    import jax.numpy as jnp
+    from scope_tpu.models import llama
+    from scope_tpu.models.registry import TINY_LLAMA
+
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    rl = bench.roofline(TINY_LLAMA, params, 4, 2e5, 64, kv_bytes=1)
+    assert rl["hbm_gbps"] > 0 and 0 < rl["roofline_pct"] < 100
+    assert bench.roofline(TINY_LLAMA, params, 4, None, 64) is None
+
+
+def test_headwise_runner_to_evaluator(tmp_path):
+    """Headwise must run the WHOLE L4->L5 harness loop (the reference
+    left it WIP and out of its sweep; VERDICT r3 #3): runner CLI ->
+    per-example records -> evaluator -> a real (non -1) Headwise row."""
+    from scope_tpu.bench import runner as R
+
+    R.main([
+        "--platform", "cpu",
+        "--data_file", "data/longgenbench_examples/gsm8k_4_2shot.jsonl",
+        "--datasets", "gsm8k", "--K", "4", "--shot_number", "2",
+        "--random_weights", "--model_spec", "tiny-llama",
+        "--tokenizer", "byte", "--method", "headwise",
+        "--decoding_metric", "jump", "--max_capacity_prompts", "64",
+        "--decoding_window_size", "32", "--decoding_recent_size", "16",
+        "--max_new_tokens", "16", "--max_prompt_len", "512",
+        "--max_num_examples", "1", "--dtype", "float32",
+        "--save_dir", str(tmp_path),
+    ])
+    res_dir = os.path.join(str(tmp_path), "tiny-llama_64_tpu")
+    rows = E.evaluate_results_dir(res_dir, "jump", datasets=["gsm8k"])
+    scores = {r[0]: r[1] for r in rows[1:]}
+    assert scores["Headwise"] != -1
