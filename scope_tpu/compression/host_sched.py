@@ -42,9 +42,16 @@ def host_schedulable(comp: CompressionConfig) -> bool:
         # The per-step positional window slicing mutates lengths in a way
         # the host mirror does not model; parity runs use the device path.
         return False
-    return (comp.method in ("fullkv", "allkv", "h2o", "snapkv",
-                            "streamingllm", "quest")
-            and comp.decoding_metric in ("none", "fixed", "linear", "jump"))
+    if comp.method in ("fullkv", "allkv", "h2o", "snapkv",
+                       "streamingllm", "quest") \
+            and comp.decoding_metric in ("none", "fixed", "linear", "jump"):
+        return True
+    # Method-specific metrics: gates are pure length thresholds
+    # (kv_utils.py:689, :887) — deterministic per stream, so serving can
+    # mirror them per slot exactly like `fixed` (VERDICT r3 #5).  The
+    # rewrite re-ranks from slot 0 (pseg=0 on the device side).
+    return (comp.method, comp.decoding_metric) in (
+        ("h2o", "h2o"), ("streamingllm", "slm"))
 
 
 def host_schedulable_layered(comp: CompressionConfig) -> bool:
@@ -54,7 +61,7 @@ def host_schedulable_layered(comp: CompressionConfig) -> bool:
     return (comp.method == "pyramidkv"
             and not comp.mistral_window_parity
             and comp.decoding_metric in ("none", "fixed", "linear",
-                                         "jump"))
+                                         "jump", "pyramidinfer"))
 
 
 def pyramid_prefill_kept(comp: CompressionConfig, num_layers: int,
@@ -142,6 +149,23 @@ class HostScheduler:
         r = comp.decoding_recent_size
         thresh = comp.delta * self.L
 
+        if m in ("h2o", "slm"):
+            # Method-specific global metrics (kv_utils.py:679-700 h2o,
+            # :881-902 slm intent): gate on pseg+W like fixed, but the
+            # rewrite re-ranks the WHOLE cache from slot 0 (device pseg=0)
+            # keeping pseg+W-r (top-scored for h2o, positional for slm)
+            # + the recent r.  Mirrors schedulers.schedule_decision.
+            gate = self.length >= self.pseg + W
+            if not gate:
+                return StepPlan(fire=False, w_t=W)
+            n_keep = max(0, min(self.pseg + W - r, self.keep_cap,
+                                self.length - r))
+            if self.capacity:
+                n_keep = min(n_keep, self.capacity - r)
+            self.length = n_keep + r
+            if not self.lazy:
+                self.phys = self.length
+            return StepPlan(fire=True, n_keep=n_keep, w_t=W)
         if m == "fixed":
             w_t = W
             gate = self.length >= self.pseg + W
@@ -358,9 +382,29 @@ class LayeredHostScheduler:
         thresh = comp.delta * self.L
         fire = [False] * self.L
         n_keep = [0] * self.L
+        P = comp.max_capacity_prompt
         for l in range(self.L):
             self.lengths[l] += 1
             if m == "none":
+                continue
+            if m == "pyramidinfer":
+                # Decode-phase pyramid budgets (kv_utils.py:237-263, the
+                # reachable mid branch; deep branch clamped — PARITY.md).
+                # Rewrite pseg=0 on the device; mirrors
+                # schedulers.schedule_decision's pyramidinfer arm.
+                if self.lengths[l] < self.pseg + W:
+                    continue
+                min_num = (P + W - r) // 2
+                max_num = (P + W - r) * 2 - min_num
+                steps = (max_num - min_num) // self.L
+                budget_l = max_num - l * steps
+                mid = self.lengths[l] < (P - r) * 2 + W
+                nk = (P + W - r) if mid else (budget_l + W)
+                nk = max(0, min(nk, self.lengths[l] - r, self.keep_cap,
+                                self.capacity - r))
+                n_keep[l] = nk
+                fire[l] = True
+                self.lengths[l] = nk + r
                 continue
             if m == "fixed":
                 w_t = W

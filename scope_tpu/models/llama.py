@@ -535,7 +535,16 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
             if comp.decoding_metric != "none" and compress_mode == "force":
                 from scope_tpu.compression.schedulers import (block_map,
                                                               block_width)
-                if comp.method in ("allkv", "fullkv"):
+                # slm keeps the lowest slot indices instead of top scores
+                # (kv_utils.py:881-902 intent).
+                positional = comp.decoding_metric == "slm"
+                if comp.decoding_metric in ("h2o", "slm", "pyramidinfer"):
+                    # Method-specific global metrics re-rank the WHOLE
+                    # cache: no protected prefill segment
+                    # (kv_utils.py:679-700, :237-263 — pseg=0, matching
+                    # schedulers.schedule_decision).
+                    pseg = jnp.zeros((B,), jnp.int32)
+                elif comp.method in ("allkv", "fullkv"):
                     pseg = cache.prompt_len
                 else:
                     pseg = jnp.full((B,), comp.max_capacity_prompt,
@@ -587,7 +596,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     continue
                 src_blk, new_len = block_map(
                     comp, st.caps, probs, length, pseg, nk,
-                    row_gate, False)
+                    row_gate, positional)
                 blkW = block_width(comp, st.caps)
                 srcc = jnp.clip(jnp.broadcast_to(src_blk, (B, Hc, blkW)),
                                 0, cap_eff - 1)[..., None]

@@ -11,14 +11,16 @@ replicated buffer merged with one small psum per round (disjoint
 microbatch slots per stage), so all stages work concurrently once the
 pipeline fills.
 
-Scope: the decode hot path for the non-evicting methods (fullkv-style
-cache).  Compression is layer-local (scores, top-k, rewrites never cross
-layers — SURVEY §2.5), so SCOPE fires compose with stage sharding the
-same way they compose with the unrolled single-device loop; wiring the
-host-scheduled force program through stages is future work (ROADMAP).
-PP exists for MEMORY reach (models whose weights+cache exceed one
-chip's HBM after TP), not single-token latency — a lone decode token
-cannot fill a pipeline; utilization comes from the microbatches.
+Scope: the decode hot path, plus host-scheduled SCOPE fires.
+Compression is layer-local (scores, top-k, rewrites never cross layers —
+SURVEY §2.5), so a fire composes with stage sharding as a per-stage
+block_map gather + contiguous write on each stage's local layers — no
+new collectives (pass ``comp``/``caps`` + per-row ``force_row_gate``/
+``force_n_keep`` to :func:`pp_decode_step`, exactly the host-loop force
+contract).  PP exists for MEMORY reach (models whose weights+cache
+exceed one chip's HBM after TP), not single-token latency — a lone
+decode token cannot fill a pipeline; utilization comes from the
+microbatches.
 """
 
 from __future__ import annotations
@@ -48,12 +50,16 @@ def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
 
 
 def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
-                   softmax_f32: bool,
+                   softmax_f32: bool, tied: bool, comp, caps,
                    embed, final_norm, lm_head, layers,
-                   token, vpos, ck, cv, length):
+                   token, vpos, ck, cv, length, force_gate, force_nk):
     """Runs INSIDE shard_map.  layers: stage-local [L/S, ...] weight
     stack; ck/cv: stage-local [L/S, B, Hkv, cap, D]; token/vpos: [B]
-    replicated.  Returns (logits [B, V], ck, cv, length+1)."""
+    replicated.  With ``comp`` set this is the FORCE program: each stage
+    applies the SCOPE block rewrite to its local layers using this step's
+    attention probabilities and the host-planned per-row gates (layer-
+    local per SURVEY §2.5 — no cross-stage traffic beyond the normal
+    activation ripple).  Returns (logits [B, V], ck, cv, new_length)."""
     from scope_tpu.models.llama import _grouped_decode_attention, qkv_flat
 
     S = n_stages
@@ -68,6 +74,11 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
 
     inv_freq = rope_inv_freq(D, spec.rope_theta, spec.rope_scaling)
     cos, sin = rope_cos_sin(vpos[:, None], inv_freq)        # [B, 1, Dh]
+
+    if comp is not None:
+        from scope_tpu.compression.schedulers import (block_map,
+                                                      block_width)
+        pseg_all = jnp.full((B,), comp.max_capacity_prompt, jnp.int32)
 
     # All replicas embed the full batch (tiny at decode width 1); the
     # ripple below only ever reads/writes microbatch slices.
@@ -99,8 +110,26 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
             mask = jnp.broadcast_to(
                 (jnp.arange(cap)[None, :] <= ln_m[:, None])[:, None, :],
                 (MB, Hkv, cap))
-            out, _ = _grouped_decode_attention(q, ck_m, cv_m, mask, G,
-                                               softmax_f32=softmax_f32)
+            out, probs = _grouped_decode_attention(q, ck_m, cv_m, mask, G,
+                                                   softmax_f32=softmax_f32)
+            if comp is not None:
+                # SCOPE fire on this stage's layer: same block_map +
+                # contiguous write as the single-device force path
+                # (models/llama.py), on the appended microbatch slice.
+                pseg_m = lax.dynamic_slice_in_dim(pseg_all, rows0, MB, 0)
+                gate_m = lax.dynamic_slice_in_dim(force_gate, rows0, MB, 0)
+                nk_m = lax.dynamic_slice_in_dim(force_nk, rows0, MB, 0)
+                src_blk, _ = block_map(comp, caps, probs, ln_m + 1,
+                                       pseg_m, nk_m, gate_m, False)
+                blkW = block_width(comp, caps)
+                srcc = jnp.clip(jnp.broadcast_to(src_blk, (MB, Hkv, blkW)),
+                                0, cap - 1)[..., None]
+                kblk = jnp.take_along_axis(ck_m, srcc, axis=2)
+                vblk = jnp.take_along_axis(cv_m, srcc, axis=2)
+                ckl = lax.dynamic_update_slice(
+                    ckl, kblk[None], (l, rows0, 0, pseg_m[0], 0))
+                cvl = lax.dynamic_update_slice(
+                    cvl, vblk[None], (l, rows0, 0, pseg_m[0], 0))
             xs = xs + wdot(out.transpose(0, 2, 1, 3).reshape(MB, 1,
                                                              Hq * D),
                            p, "wo")
@@ -128,11 +157,18 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
                                                 axis=0)
         x_buf = x_buf + lax.psum(
             jnp.where(valid, delta, jnp.zeros_like(delta)), STAGE_AXIS)
-        # Last stage emits logits for its finished microbatch.
+        # Last stage emits logits for its finished microbatch.  Tied
+        # heads contract on embed's hidden axis DIRECTLY — `embed.T` as
+        # a jnp op makes XLA materialize the full [V, E] transpose
+        # (525MB bf16 at 1B) every step (see llama._lm_logits).
         is_last = s_idx == S - 1
         h = rms_norm(xs_out, final_norm, spec.rms_norm_eps)
-        lg = jnp.einsum("mse,ev->msv", h, lm_head.astype(h.dtype)
-                        )[:, 0].astype(jnp.float32)
+        if tied:
+            lg = jnp.einsum("mse,ve->msv", h, lm_head.astype(h.dtype)
+                            )[:, 0].astype(jnp.float32)
+        else:
+            lg = jnp.einsum("mse,ev->msv", h, lm_head.astype(h.dtype)
+                            )[:, 0].astype(jnp.float32)
         lg_delta = jnp.zeros_like(logits_buf)
         lg_delta = lax.dynamic_update_slice_in_dim(lg_delta, lg, rows0,
                                                    axis=0)
@@ -144,19 +180,33 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
     n_rounds = n_micro + S - 1
     x_buf, logits_buf, ck, cv = lax.fori_loop(
         0, n_rounds, round_body, (x_buf, logits_buf, ck, cv))
-    return logits_buf, ck, cv, length + 1
+    if comp is not None:
+        # Fired rows shrink to pseg + n_keep + r (uniform across layers
+        # and stages — length is one [B] stream for these methods).
+        new_len = jnp.where(force_gate,
+                            pseg_all + force_nk
+                            + comp.decoding_recent_size, length + 1)
+    else:
+        new_len = length + 1
+    return logits_buf, ck, cv, new_len
 
 
 def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
                    ck, cv, length, *, n_micro: int = 0,
-                   softmax_f32: bool = True):
+                   softmax_f32: bool = True, comp=None, caps=None,
+                   force_row_gate=None, force_n_keep=None):
     """One pipeline-parallel decode step.
 
     params: llama.init_params tree (layer stacks shard over the stage
-    axis — L must divide n_stages); ck/cv: [L, B, Hkv, cap, D] fullkv
-    cache, stage-sharded on the layer axis; length: [B].  n_micro
-    microbatches (default = n_stages) must divide the batch.
-    Returns (logits [B, V], ck, cv, length+1)."""
+    axis — L must divide n_stages); ck/cv: [L, B, Hkv, cap, D] cache,
+    stage-sharded on the layer axis; length: [B].  n_micro microbatches
+    (default = n_stages) must divide the batch.
+
+    Hot steps: leave ``comp`` None.  SCOPE fire steps: pass ``comp`` +
+    ``caps`` (schedulers.DecodeCaps) and the host-planned per-row
+    ``force_row_gate``/``force_n_keep`` [B] (the host-loop force
+    contract) — each stage rewrites its local layers, no extra
+    collectives.  Returns (logits [B, V], ck, cv, new_length)."""
     try:
         from jax import shard_map
     except ImportError:
@@ -167,22 +217,40 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
     if L % S:
         raise ValueError(f"{L} layers not divisible by {S} stages")
     n_micro = n_micro or S
-    if token.shape[0] % n_micro:
-        raise ValueError(f"batch {token.shape[0]} not divisible by "
+    B = token.shape[0]
+    if B % n_micro:
+        raise ValueError(f"batch {B} not divisible by "
                          f"{n_micro} microbatches")
-    lm_head = params.get("lm_head")
-    if lm_head is None:
-        lm_head = params["embed"].T
-    fn = partial(_pp_step_local, spec, S, n_micro, softmax_f32)
+    # Head orientation is static; tied heads pass embed UNtransposed
+    # (the [V, E] transpose would re-materialize every step).
+    lm_head = params.get("lm_head_t", params.get("lm_head"))
+    if lm_head is not None and lm_head.dtype == jnp.int8:
+        # int8 lm_head_t carries a per-input-channel scale folded into h
+        # (llama._lm_logits); PP's einsum doesn't — use the fp source.
+        lm_head = params.get("lm_head")
+    tied = lm_head is None
+    if tied:
+        lm_head = params["embed"]
+    if comp is not None:
+        if force_row_gate is None:
+            force_row_gate = jnp.ones((B,), bool)
+        if force_n_keep is None:
+            raise ValueError("force steps need force_n_keep")
+    else:
+        force_row_gate = jnp.zeros((B,), bool)
+        force_n_keep = jnp.zeros((B,), jnp.int32)
+    fn = partial(_pp_step_local, spec, S, n_micro, softmax_f32, tied,
+                 comp, caps)
     lspec = {name: P(STAGE_AXIS) for name in params["layers"]}
     kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(), P(), lspec, P(), P(), P(STAGE_AXIS), P(STAGE_AXIS),
-                  P()),
+                  P(), P(), P()),
         out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P()))
     try:
         sharded = shard_map(fn, check_vma=False, **kwargs)
     except TypeError:
         sharded = shard_map(fn, check_rep=False, **kwargs)
     return sharded(params["embed"], params["final_norm"], lm_head,
-                   params["layers"], token, vpos, ck, cv, length)
+                   params["layers"], token, vpos, ck, cv, length,
+                   force_row_gate, force_n_keep)

@@ -56,6 +56,8 @@ _SLOW = {
     ("test_serving", "test_serving_quest_chunked_dispatch_matches"),
     ("test_sampling", "test_serving_per_request_sampling"),
     ("test_pipeline", "test_pp_decode_matches_single_device"),
+    ("test_pipeline", "test_pp_decode_with_h2o_jump_fire_matches_single_device"),
+    ("test_serving", "test_serving_method_specific_metrics_match_single_stream"),
     ("test_lazy_evict", "test_lazy_matches_eager_tokens_and_live_counts"),
     ("test_lazy_evict", "test_lazy_compaction_mid_run"),
     ("test_elastic", "test_run_recovers_from_injected_failure"),
