@@ -154,6 +154,13 @@ def compact_gather(cache: KVCache, gap: int):
         (~5 T-ops for the same compact).  Exact for 0/1 coefficients in
         every cache dtype (int8/uint8 accumulate in int32; floats hit
         one nonzero term per row)."""
+        if W > 4096:
+            # The one-hot is O(W^2): fine at fire-window widths (~2.5k),
+            # but a gap=0 configuration (allkv) at ~10k capacity would
+            # build a [B,H,10k,10k] operand (~100MB per (b,h) row) just
+            # to permute.  Above this width the latency-bound gather is
+            # the lesser evil (ADVICE r3).
+            return jnp.take_along_axis(x, perm[..., None], axis=2)
         oh = perm[..., None] == idx[None, None, None, :]    # [B,H,W,W]
         if jnp.issubdtype(x.dtype, jnp.integer):
             # uint8 codes round-trip exactly through the int8 reinterpret
@@ -162,6 +169,10 @@ def compact_gather(cache: KVCache, gap: int):
                              x.astype(jnp.int8),
                              preferred_element_type=jnp.int32)
             return out.astype(x.dtype)
+        # Float path invariant: dead slots must hold FINITE values —
+        # 0 * Inf/NaN would poison live rows through the matmul (unlike
+        # take_along_axis).  Holds today: buffers are zero-init and only
+        # finite K/V rows are ever written (ADVICE r3).
         return jnp.einsum("bhij,bhjd->bhid", oh.astype(x.dtype), x,
                           preferred_element_type=jnp.float32
                           ).astype(x.dtype)

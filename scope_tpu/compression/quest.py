@@ -240,19 +240,20 @@ def quest_decode_layer(
 
     # Quantized caches: compute in q's dtype (K scale is folded into q,
     # V scale/offset into the output by the caller — models/llama.py).
-    from scope_tpu.ops.quant import to_compute as _tc
+    # Packed-int4 contracts per nibble plane (quant.qk_einsum): the
+    # gathers stay in the packed domain (half the row DMA), no concat.
+    from scope_tpu.ops.quant import pv_einsum as _pv
+    from scope_tpu.ops.quant import qk_einsum as _qk
     cd = q.dtype if jnp.issubdtype(ck.dtype, jnp.integer) else cv.dtype
 
     def attend(idx, valid):
         k_sel = jnp.take_along_axis(ck_r, idx[..., None], axis=2)
         v_sel = jnp.take_along_axis(cv_r, idx[..., None], axis=2)
         acc = jnp.float32 if softmax_f32 else q.dtype
-        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(k_sel, cd),
-                            preferred_element_type=acc) * scale
+        logits = _qk("bhgd,bhsd->bhgs", qg, k_sel, cd, acc) * scale
         logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
-                         _tc(v_sel, cd))
+        out = _pv("bhgs,bhsd->bhgd", probs.astype(cd), v_sel, cd)
         return out.reshape(B, Hq, 1, D), probs.sum(axis=2)      # [B,Hc,S']
 
     def quest_branch(_):
@@ -266,12 +267,10 @@ def quest_decode_layer(
         valid = jnp.broadcast_to(slot[None, None, :] < length[:, None, None],
                                  (B, Hc, cap_r))
         acc = jnp.float32 if softmax_f32 else q.dtype
-        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(ck_r, cd),
-                            preferred_element_type=acc) * scale
+        logits = _qk("bhgd,bhsd->bhgs", qg, ck_r, cd, acc) * scale
         logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
-                         _tc(cv_r, cd))
+        out = _pv("bhgs,bhsd->bhgd", probs.astype(cd), cv_r, cd)
         dec_probs = jnp.take_along_axis(probs.sum(axis=2),
                                         jnp.clip(dec_idx, 0, cap_r - 1),
                                         axis=-1)

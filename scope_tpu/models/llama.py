@@ -37,6 +37,8 @@ from scope_tpu.ops.attention import (decode_attention, prefill_attention)
 from scope_tpu.ops.common import (apply_rope, mlp, repeat_kv, rms_norm,
                                   rope_cos_sin, rope_inv_freq, wdot)
 from scope_tpu.ops.quant import to_compute as _tc
+from scope_tpu.ops.quant import pv_einsum as _pv
+from scope_tpu.ops.quant import qk_einsum as _qk
 
 Params = Dict[str, Any]
 
@@ -779,13 +781,13 @@ def _ring_decode_attention(q, cache_k, cache_v, mask, ring_k, ring_v,
     # the einsums.  Mathematically identical (same softmax, different
     # association).
     def seg(kseg, vseg, m):
-        logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(kseg, cd),
-                            preferred_element_type=jnp.float32) * scale
+        logits = _qk("bhgd,bhsd->bhgs", qg, kseg, cd,
+                     jnp.float32) * scale
         logits = jnp.where(m[:, :, None, :], logits, NEG_INF)
         mx = logits.max(axis=-1)                          # [B,Hc,G]
         e = jnp.exp(logits - mx[..., None])
-        num = jnp.einsum("bhgs,bhsd->bhgd", e.astype(cd),
-                         _tc(vseg, cd)).astype(jnp.float32)
+        num = _pv("bhgs,bhsd->bhgd", e.astype(cd),
+                  vseg, cd).astype(jnp.float32)
         return mx, e.sum(-1), num
 
     m1, s1, n1 = seg(cache_k, cache_v, mask)
@@ -816,16 +818,15 @@ def _deferred_decode_attention(q, cache_k, cache_v, mask, k_new, v_new, *,
     qg = q.reshape(B, Hc, Hq // Hc, D)
     cd = (q.dtype if jnp.issubdtype(cache_k.dtype, jnp.integer)
           else cache_k.dtype)
-    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(cache_k, cd),
-                        preferred_element_type=acc) * scale
+    logits = _qk("bhgd,bhsd->bhgs", qg, cache_k, cd, acc) * scale
     logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
     l_new = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(k_new, cd),
                        preferred_element_type=acc) * scale
     probs = jax.nn.softmax(
         jnp.concatenate([logits, l_new], axis=-1).astype(jnp.float32),
         axis=-1)
-    out = (jnp.einsum("bhgs,bhsd->bhgd",
-                      probs[..., :-1].astype(cd), _tc(cache_v, cd))
+    out = (_pv("bhgs,bhsd->bhgd", probs[..., :-1].astype(cd),
+               cache_v, cd)
            + probs[..., -1:].astype(cd) * _tc(v_new, cd))
     return out.reshape(B, Hq, 1, D)
 
@@ -846,11 +847,9 @@ def _grouped_decode_attention(q, cache_k, cache_v, mask, groups, *,
     qg = q.reshape(B, Hkv, Hq // Hkv, D)
     cd = (q.dtype if jnp.issubdtype(cache_k.dtype, jnp.integer)
           else cache_k.dtype)
-    logits = jnp.einsum("bhgd,bhsd->bhgs", qg, _tc(cache_k, cd),
-                        preferred_element_type=acc) * scale
+    logits = _qk("bhgd,bhsd->bhgs", qg, cache_k, cd, acc) * scale
     logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhgs,bhsd->bhgd", probs.astype(cd),
-                     _tc(cache_v, cd))
+    out = _pv("bhgs,bhsd->bhgd", probs.astype(cd), cache_v, cd)
     out = out.reshape(B, Hq, 1, D)
     return out, probs.sum(axis=2)

@@ -261,15 +261,13 @@ def decode_attention(
     scale = 1.0 / math.sqrt(D)
     acc = jnp.float32 if softmax_f32 else q.dtype
     # int8 caches: converts fuse into the matmul operand loads, so the
-    # HBM reads stay int8-sized; packed-int4 (uint8) caches unpack to
-    # codes in the operand (scales/offsets are folded by the caller).
-    from scope_tpu.ops.quant import to_compute
+    # HBM reads stay int8-sized; packed-int4 (uint8) caches contract per
+    # nibble plane (quant.qk_einsum — the unpack concat defeats fusion).
+    from scope_tpu.ops.quant import pv_einsum, qk_einsum
     cd = (q.dtype if jnp.issubdtype(cache_k.dtype, jnp.integer)
           else cache_k.dtype)
-    logits = jnp.einsum("bhqd,bhsd->bhqs", q, to_compute(cache_k, cd),
-                        preferred_element_type=acc) * scale
+    logits = qk_einsum("bhqd,bhsd->bhqs", q, cache_k, cd, acc) * scale
     logits = jnp.where(slot_mask[:, :, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhqs,bhsd->bhqd", probs.astype(cd),
-                     to_compute(cache_v, cd))
+    out = pv_einsum("bhqs,bhsd->bhqd", probs.astype(cd), cache_v, cd)
     return out, probs[:, :, 0, :]
