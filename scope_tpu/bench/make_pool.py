@@ -110,17 +110,65 @@ def _mc_item(rng: random.Random, n_choices: int) -> Dict:
             "answer": answer}
 
 
+def _csqa_raw_item(rng: random.Random, idx: int) -> Dict:
+    """Synthetic item in the reference's raw CommonsenseQA record shape
+    (data/longgenbench_examples/CommonsenseQA.jsonl: id / question /
+    question_concept / choices{label,text} / answerKey)."""
+    base = _mc_item(rng, 5)
+    labels = ["A", "B", "C", "D", "E"]
+    return {
+        "id": f"synth{idx:08x}",
+        "question": base["question"],
+        "question_concept": "arithmetic",
+        "choices": {"label": labels, "text": base["choices"]},
+        "answerKey": base["answer"],
+    }
+
+
+def _humaneval_item(rng: random.Random, idx: int) -> Dict:
+    """Synthetic item in the raw HumanEval record shape (task_id /
+    prompt / canonical_solution / test / entry_point)."""
+    a, b = rng.randint(2, 30), rng.randint(2, 30)
+    kind = rng.randrange(3)
+    if kind == 0:
+        name, op, expr = f"add_{a}", f"adds {a}", f"x + {a}"
+    elif kind == 1:
+        name, op, expr = f"scale_{a}", f"multiplies by {a}", f"x * {a}"
+    else:
+        name, op, expr = (f"affine_{a}_{b}", f"computes {a}*x + {b}",
+                          f"{a} * x + {b}")
+    x0, x1 = rng.randint(0, 50), rng.randint(51, 200)
+    ref = {0: lambda x: x + a, 1: lambda x: x * a,
+           2: lambda x: a * x + b}[kind]
+    prompt = (f"def {name}(x: int) -> int:\n"
+              f"    \"\"\" Returns the value that {op} the input.\n"
+              f"    >>> {name}({x0})\n    {ref(x0)}\n    \"\"\"\n")
+    return {
+        "task_id": f"SynthEval/{idx}",
+        "prompt": prompt,
+        "canonical_solution": f"    return {expr}\n",
+        "test": (f"def check(candidate):\n"
+                 f"    assert candidate({x0}) == {ref(x0)}\n"
+                 f"    assert candidate({x1}) == {ref(x1)}\n"),
+        "entry_point": name,
+    }
+
+
 def make_pool(kind: str, n: int, seed: int = 0,
               n_choices: int = 4) -> List[Dict]:
     rng = random.Random(seed)
     if kind == "gsm8k":
         return [_gsm8k_item(rng) for _ in range(n)]
+    if kind == "csqa_raw":
+        return [_csqa_raw_item(rng, i) for i in range(n)]
+    if kind == "humaneval_raw":
+        return [_humaneval_item(rng, i) for i in range(n)]
     return [_mc_item(rng, n_choices) for _ in range(n)]
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--kind", choices=["gsm8k", "choices"], default="gsm8k")
+    p.add_argument("--kind", choices=["gsm8k", "choices", "csqa_raw", "humaneval_raw"], default="gsm8k")
     p.add_argument("--n", type=int, default=400)
     p.add_argument("--n_choices", type=int, default=4,
                    help="options per MC item (mmlu-style 4, csqa-style 5)")
