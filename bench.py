@@ -484,51 +484,59 @@ def run_serving_engine(spec, params, batch, *, prompt_len=2048,
 
 def run_8b_leg(lazy=256):
     """North-star shapes (BASELINE.json: decode tok/s/chip at 8B under
-    20% KV budget): Llama-3-8B weight-int8 + int8 KV on one v5e chip.
-    Compression buys batch capacity: the 10k-context full-cache baseline
-    tops out near b4 (0.68GB/row of cache next to 9GB of weights) while
-    the compressed cache fits several times that.  Returns
-    (scope_tok_s, full_tok_s, scope_batch, full_batch)."""
+    20% KV budget): Llama-3-8B weight-int8 on one v5e chip.  Compression
+    buys batch capacity, and after the round-4 nibble-plane fix int4 KV
+    turns the remaining capacity into throughput at 8B: b56 int4
+    measured 1523.9 tok/s (b48 1433.7, b32 1158) vs b24 int8's
+    1047-1056 (scripts/probe_8b_batch.py; b64's hot step regresses to
+    52ms and its compact OOMs — the knee is b56).  The full-cache
+    baseline gets the SAME kv ladder (int4 first) at its own best
+    batch.  Returns
+    (scope_tok_s, full_tok_s, scope_batch, full_batch, scope_kv)."""
     from scope_tpu.models.registry import get_spec
 
     spec = get_spec("llama-3-8b")
     params = fake_params_int8(spec)
     scope = full = None
     sb = fb = 0
-    for b, ch in ((24, (16, 8)), (24, ()), (16, (16, 8)), (16, ()),
-                  (8, ())):
+    skv = "int8"
+    for b, kv, ch in ((56, "int4", (16, 8)), (48, "int4", (16, 8)),
+                      (32, "int4", (16, 8)), (24, "int8", (16, 8)),
+                      (24, "int8", ()), (16, "int8", (16, 8)),
+                      (8, "int8", ())):
         try:
-            scope = run_scope_only(spec, params, b, kv_dtype="int8",
+            scope = run_scope_only(spec, params, b, kv_dtype=kv,
                                    evict_per_qhead=False, lazy=lazy,
                                    chunks=ch, prefill_batch=4)
-            sb = b
+            sb, skv = b, kv
             break
         except Exception as e:
             # Full traceback: a genuine regression must not degrade
             # silently into a smaller-batch headline (ADVICE r3).
-            log(f"8B scope b{b}/chunks={ch} failed: "
+            log(f"8B scope b{b}/{kv}/chunks={ch} failed: "
                 f"{type(e).__name__}: {e}")
             log(traceback.format_exc(limit=3))
     from scope_tpu.config import CompressionConfig, EngineConfig
     comp_full = CompressionConfig(method="allkv", decoding_metric="none",
                                   evict_per_qhead=False)
-    ecfg_full = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,
-                             dtype="bfloat16", uniform_lengths=True,
-                             kv_dtype="int8", decode_chunk_sizes=(16, 8))
-    cap_full = ecfg_full.cache_capacity(comp_full)
-    fake_len = min(10000, cap_full - 200)
-    for b in (8, 4, 2):
+    for b, kv in ((16, "int4"), (8, "int4"), (8, "int8"), (4, "int8"),
+                  (2, "int8")):
+        ecfg_full = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,
+                                 dtype="bfloat16", uniform_lengths=True,
+                                 kv_dtype=kv, decode_chunk_sizes=(16, 8))
+        cap_full = ecfg_full.cache_capacity(comp_full)
+        fake_len = min(10000, cap_full - 200)
         try:
             full = measure_decode(spec, comp_full, ecfg_full, params,
                                   2048, fake_len=fake_len, batch=b,
                                   prefill_batch=2)
             fb = b
-            log(f"[8B full-cache b{b}] {full:.1f} tok/s")
+            log(f"[8B full-cache b{b} {kv}] {full:.1f} tok/s")
             break
         except Exception as e:
-            log(f"8B full b{b} failed: {type(e).__name__}: {e}")
+            log(f"8B full b{b}/{kv} failed: {type(e).__name__}: {e}")
             log(traceback.format_exc(limit=3))
-    return scope, full, sb, fb
+    return scope, full, sb, fb, skv
 
 
 def main():
@@ -609,9 +617,10 @@ def main():
     del params
     b8_scope = b8_full = b8_serving = None
     sb = fb = 0
+    skv = "int8"
     rl_8b = None
     try:
-        b8_scope, b8_full, sb, fb = run_8b_leg()
+        b8_scope, b8_full, sb, fb, skv = run_8b_leg()
     except Exception as e:
         log(f"8B leg failed entirely: {type(e).__name__}: {e}")
         log(traceback.format_exc(limit=5))
@@ -619,12 +628,14 @@ def main():
         from scope_tpu.models.registry import get_spec as _gs
         spec8 = _gs("llama-3-8b")
         params8 = fake_params_int8(spec8)
-        rl_8b = roofline(spec8, params8, sb, b8_scope, 2650, kv_bytes=1)
+        rl_8b = roofline(spec8, params8, sb, b8_scope, 2650,
+                         kv_bytes=0.5 if skv == "int4" else 1)
         # 8B through the REAL serving engine at the raw-loop's batch
         # (VERDICT r3 #7): admissions + chunked dispatch + pipelined
         # fetches should land within ~10% of the raw loop.
         try:
-            b8_serving = run_serving_engine(spec8, params8, sb)
+            b8_serving = run_serving_engine(spec8, params8, sb,
+                                            kv_dtype=skv)
         except Exception as e:
             log(f"8B serving leg failed: {type(e).__name__}: {e}")
             log(traceback.format_exc(limit=5))
@@ -645,6 +656,7 @@ def main():
         "roofline_pct": rl_best and rl_best["roofline_pct"],
         "b8_scope_tok_s": b8_scope and round(b8_scope, 2),
         "b8_scope_batch": sb,
+        "b8_scope_kv": skv,
         "b8_serving_tok_s": b8_serving and round(b8_serving, 2),
         "b8_hbm_gbps": rl_8b and rl_8b["hbm_gbps"],
         "b8_roofline_pct": rl_8b and rl_8b["roofline_pct"],
