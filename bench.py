@@ -486,10 +486,11 @@ def run_8b_leg(lazy=256):
     """North-star shapes (BASELINE.json: decode tok/s/chip at 8B under
     20% KV budget): Llama-3-8B weight-int8 on one v5e chip.  Compression
     buys batch capacity, and after the round-4 nibble-plane fix int4 KV
-    turns the remaining capacity into throughput at 8B: b56 int4
-    measured 1523.9 tok/s (b48 1433.7, b32 1158) vs b24 int8's
-    1047-1056 (scripts/probe_8b_batch.py; b64's hot step regresses to
-    52ms and its compact OOMs — the knee is b56).  The full-cache
+    turns the remaining capacity into throughput at 8B: b60 int4
+    measured 1577.4 tok/s (b56 1523.9, b48 1433.7, b32 1158) vs b24
+    int8's 1047-1056 (scripts/probe_8b_batch.py; b64's hot step
+    regresses to 52ms and its compact OOMs — the knee is ~b60).  The
+    full-cache
     baseline gets the SAME kv ladder (int4 first) at its own best
     batch.  Returns
     (scope_tok_s, full_tok_s, scope_batch, full_batch, scope_kv)."""
@@ -500,10 +501,10 @@ def run_8b_leg(lazy=256):
     scope = full = None
     sb = fb = 0
     skv = "int8"
-    for b, kv, ch in ((56, "int4", (16, 8)), (48, "int4", (16, 8)),
-                      (32, "int4", (16, 8)), (24, "int8", (16, 8)),
-                      (24, "int8", ()), (16, "int8", (16, 8)),
-                      (8, "int8", ())):
+    for b, kv, ch in ((60, "int4", (16, 8)), (56, "int4", (16, 8)),
+                      (48, "int4", (16, 8)), (32, "int4", (16, 8)),
+                      (24, "int8", (16, 8)), (24, "int8", ()),
+                      (16, "int8", (16, 8)), (8, "int8", ())):
         try:
             scope = run_scope_only(spec, params, b, kv_dtype=kv,
                                    evict_per_qhead=False, lazy=lazy,

@@ -108,6 +108,13 @@ class ServingEngine:
         self.cache = init_cache(spec.num_layers, max_slots, st.cache_heads,
                                 st.capacity, spec.head_dim,
                                 jnp.dtype(ecfg.dtype),
+                                # Headwise reserves a per-head prefill
+                                # segment; the pool must carry the same
+                                # static gap the per-request prefill
+                                # caches use (cache.slot_mask layout).
+                                prefill_gap=(comp.headwise_max_budget
+                                             if comp.method == "headwise"
+                                             else 0),
                                 kv_dtype=ecfg.kv_dtype,
                                 with_pages=(comp.method == "quest"),
                                 num_pages=st.capacity // comp.chunk_size,

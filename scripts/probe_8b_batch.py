@@ -23,6 +23,7 @@ CONFIGS = [
     (56, "int4"),
     (96, "int4"),
     (60, "int4"),
+    (62, "int4"),
 ]
 
 

@@ -443,3 +443,33 @@ def test_serving_lazy_compaction_matches():
     for sc in eng_l._slot_scheds:
         if sc is not None:
             assert sc.length <= sc.phys < sc.capacity
+
+
+def test_serving_headwise_matches_single_stream():
+    """Headwise under continuous batching (device-cond path; the pool
+    cache must carry the reserved per-head prefill gap): token-identical
+    to single-stream — completes the serving matrix over all 7 methods."""
+    comp = CompressionConfig(method="headwise", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=16,
+                             decoding_recent_size=8, delta=3,
+                             headwise_max_budget=64,
+                             headwise_min_budget=8)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    eng = ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 77, 120)]
+    ids = [eng.submit(p, 24) for p in prompts]
+    results = eng.run()
+
+    from scope_tpu.engine.generate import generate_scan
+    for p, rid in zip(prompts, ids):
+        bucket = ECFG.bucket_for(len(p))
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :len(p)] = p
+        gen, _ = generate_scan(TINY_LLAMA, comp, ECFG, params,
+                               jnp.asarray(toks),
+                               jnp.array([len(p)], jnp.int32), 24, -1)
+        np.testing.assert_array_equal(np.asarray(gen[0]),
+                                      np.array(results[rid]))
