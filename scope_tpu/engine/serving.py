@@ -89,6 +89,7 @@ class ServingEngine:
             self._chunker = ChunkedPrefiller(spec, comp, ecfg,
                                              chunk_size=prefill_chunk)
         self._pending_prefills: List[dict] = []
+        self._insert_fn = None
         self._decode = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
                                donate_argnums=(3,))
         # Host-orchestrated dispatch: per-slot deterministic schedule
@@ -240,18 +241,17 @@ class ServingEngine:
         self.cache = self._flush_fn(self.cache)
         self._ring_fill = 0
 
-    def _insert_row(self, slot: int, row_cache, tok0: int,
-                    prompt_len: int):
-        # The fresh row must not inherit another request's staged ring
-        # slots (the ring validity mask is global).
-        self._flush_ring()
-        c, r = self.cache, row_cache
-
+    @staticmethod
+    def _insert_row_fn(c, r, slot, prompt_len):
+        """Jitted (pool DONATED) row insert: eager DUS on the un-donated
+        pool allocated a full pool copy per admission — 5.5GB transient
+        at 8B b48 int4, RESOURCE_EXHAUSTED next to the weights."""
         def put(dst, src):
-            idx = (0, slot) + (0,) * (dst.ndim - 2)
+            z = jnp.int32(0)
+            idx = (z, slot) + (z,) * (dst.ndim - 2)
             return lax.dynamic_update_slice(dst, src, idx)
 
-        self.cache = c.replace(
+        return c.replace(
             k=put(c.k, r.k), v=put(c.v, r.v),
             length=c.length.at[:, slot].set(r.length[:, 0]),
             pvalid=c.pvalid.at[:, slot].set(r.pvalid[:, 0]),
@@ -271,6 +271,18 @@ class ServingEngine:
             page_max=(put(c.page_max, r.page_max)
                       if c.page_max is not None else None),
         )
+
+    def _insert_row(self, slot: int, row_cache, tok0: int,
+                    prompt_len: int):
+        # The fresh row must not inherit another request's staged ring
+        # slots (the ring validity mask is global).
+        self._flush_ring()
+        if self._insert_fn is None:
+            self._insert_fn = jax.jit(self._insert_row_fn,
+                                      donate_argnums=(0,))
+        self.cache = self._insert_fn(self.cache, row_cache,
+                                     jnp.int32(slot),
+                                     jnp.int32(prompt_len))
         self.cur_tok[slot] = tok0
         self.vpos[slot] = prompt_len
         self._tok_dev = self._tok_dev.at[slot].set(tok0)
