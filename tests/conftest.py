@@ -46,6 +46,7 @@ _SLOW = {
     ("test_sharding", "test_sharded_generation_matches_single_device"),
     ("test_sharding", "test_sharded_serving_matches_unsharded"),
     ("test_sharding", "test_sharded_qkv_bias_matches_single_device"),
+    ("test_sharding", "test_scaling_curve_harness_runs"),
     ("test_qwen2", "test_qwen2_compression_methods_run"),
     ("test_mistral", "test_mistral_compression_methods_run"),
     ("test_headwise", "test_headwise_with_decode_compression"),

@@ -202,3 +202,24 @@ def test_dp_tp_serving_matches_unsharded():
     for rr, rd in zip(ids_ref, ids_dp):
         np.testing.assert_array_equal(np.array(res_ref[rr]),
                                       np.array(res_dp[rd]))
+
+
+def test_scaling_curve_harness_runs():
+    """scripts/scaling_curve.py (BASELINE north-star #3 harness) must run
+    its full chip ladder on the virtual mesh: mesh construction, DP x TP
+    sharding, prefill + donated decode steps at every width."""
+    import io
+    import os
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import scaling_curve
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scaling_curve.main(["--tiny", "--steps", "2"])
+    out = buf.getvalue()
+    assert "chips=  1" in out and "chips=  8" in out
+    assert "tok_s" in out
