@@ -411,13 +411,23 @@ def test_allkv_decode_matches_reference(metric):
     drive_decode(kvu.ALLKVCluster, mk, "allkv", metric, prompt=24)
 
 
-def test_snapkv_decode_fixed_matches_reference():
+@pytest.mark.parametrize("metric", ["fixed", "jump"])
+def test_snapkv_decode_matches_reference(metric):
     def mk(l):
         return kvu.SnapKVCluster(
-            decoding_metric="fixed", delta=DELTA, num_hidden_layers=2,
+            decoding_metric=metric, delta=DELTA, num_hidden_layers=2,
             decoding_window_size=DW, decoding_recent_size=DR,
             window_size=4, max_capacity_prompt=DP)
-    drive_decode(kvu.SnapKVCluster, mk, "snapkv", "fixed")
+    drive_decode(kvu.SnapKVCluster, mk, "snapkv", metric)
+
+
+def test_streamingllm_decode_linear_matches_reference():
+    def mk(l):
+        return kvu.StreamingLLMKVCluster(
+            decoding_metric="linear", delta=DELTA, num_hidden_layers=2,
+            decoding_window_size=DW, decoding_recent_size=DR,
+            window_size=4, max_capacity_prompt=DP)
+    drive_decode(kvu.StreamingLLMKVCluster, mk, "streamingllm", "linear")
 
 
 def test_pyramidinfer_mid_branch_matches_reference():
