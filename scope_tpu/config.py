@@ -172,14 +172,24 @@ class EngineConfig:
     # Prefill attention backend: "auto" (pallas on TPU, xla elsewhere),
     # "xla", "pallas", "pallas_interpret".
     attn_backend: str = "auto"
-    # NOTE (kernel verdict, round 3): two hand-written pallas decode-side
-    # kernels were built, measured, and REMOVED — a decode-attention
-    # kernel (two designs: whole-stripe and head-folded chunked) lost to
-    # XLA's einsum path, which is already at the HBM roofline for decode
-    # attention, and an in-place append kernel whose input/output
-    # aliasing the runtime defeated with copies at jit boundaries.  The
-    # append-copy problem is solved by the staging ring (decode_ring) and
-    # the fire-rewrite problem by lazy eviction (lazy_evict) instead.
+    # NOTE (kernel verdict, rounds 3-4): THREE hand-written pallas
+    # decode-attention kernels were built, measured, and REMOVED.
+    # Round 3: whole-stripe and head-folded chunked designs lost to
+    # XLA's einsum path; an in-place append kernel was defeated by
+    # runtime copies of aliased buffers at jit boundaries (solved by
+    # the staging ring / in-chunk staging + lazy eviction instead).
+    # Round 4 quantified the ceiling (scripts/probe_attn_roofline.py):
+    # XLA grouped decode attention sustains 391 GB/s useful at b192
+    # int8 (48% of the 819 GB/s peak; bf16 the same 47%, so the int8
+    # convert fuses) — the gap is the f32 logits/probs HBM round-trip
+    # plus head_dim=64 half-filling 128-lane tiles (a TRANSPOSED [D,S]
+    # layout bought only +13%, scripts/probe_attn_layout2.py).  A third
+    # kernel (VMEM-resident softmax over transposed [D,S] stripes,
+    # blocks fully lane-packed) measured 146-177 GB/s at nb=8..16 —
+    # 2.2-2.7x SLOWER than XLA: per-grid-step DMA/compute
+    # serialization dominates in this environment, and VMEM (16MB)
+    # caps the block size.  Verdict: XLA owns decode attention; its
+    # ~47%-of-peak is the practical ceiling here.
     # The pallas fused flash-prefill kernel (ops/pallas/flash_prefill.py)
     # remains the production prefill path on TPU.
     # Promise that all batch rows share identical prompt lengths and hence
