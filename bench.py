@@ -560,6 +560,22 @@ def main():
     # compares best-per-chip serving throughput.
     tps_scope4, tps_full4 = run_pair(spec, params, 4)
     log(f"[batch=4] same-batch speedup: {tps_scope4 / tps_full4:.2f}x")
+    # TTFT: one 2048-token prefill through the pallas flash kernel
+    # (fused causal attention + eviction scoring in one pass).
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    prefill_s = None
+    try:
+        prefill_s = _measure_prefill(
+            spec,
+            CompressionConfig(method="h2o", decoding_metric="jump",
+                              max_capacity_prompt=2048, window_size=8,
+                              decoding_window_size=512,
+                              decoding_recent_size=256, delta=30),
+            EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
+                         dtype="bfloat16", uniform_lengths=True),
+            params, 2048)
+    except Exception as e:
+        log(f"prefill measure failed: {type(e).__name__}: {e}")
     # Parity mode (reference semantics: GQA-expanded per-query-head
     # eviction, llama_model.py:566-567) at its best (batch, kv).  Lazy
     # eviction first: the eager force program materializes per-layer
@@ -667,6 +683,7 @@ def main():
         "parity_mode_tok_s": round(tps_parity, 2),
         "hbm_gbps": rl_best and rl_best["hbm_gbps"],
         "roofline_pct": rl_best and rl_best["roofline_pct"],
+        "prefill_2048_ms": prefill_s and round(prefill_s * 1e3, 1),
         "b8_scope_tok_s": b8_scope and round(b8_scope, 2),
         "b8_scope_batch": sb,
         "b8_scope_kv": skv,
