@@ -617,6 +617,19 @@ def main():
                 f"({type(e).__name__}); trying smaller")
     log(f"[serving-config best] {tps_best:.1f} tok/s "
         f"({tps_best / tps_full4:.1f}x full-cache best-batch)")
+    # The headline config through the REAL ServingEngine (measured
+    # 7068 vs the raw loop's 7215 at b192 — within 2%).
+    serving_1b = None
+    for b_s1 in (192, 160, 128):
+        try:
+            serving_1b = run_serving_engine(spec, params, b_s1,
+                                            kv_dtype="int8")
+            break
+        except Exception as e:
+            log(f"1B serving b{b_s1} failed: {type(e).__name__}: {e}")
+            log(traceback.format_exc(limit=3))
+            import gc
+            gc.collect()
     # Weight-format-MATCHED baseline: full cache at 10k with the SAME
     # int8 weights + int8 KV, its own best batch — isolates compression
     # from quantization (VERDICT r3 #2).  `params` is already quantized.
@@ -684,6 +697,7 @@ def main():
         "hbm_gbps": rl_best and rl_best["hbm_gbps"],
         "roofline_pct": rl_best and rl_best["roofline_pct"],
         "prefill_2048_ms": prefill_s and round(prefill_s * 1e3, 1),
+        "serving_1b_tok_s": serving_1b and round(serving_1b, 2),
         "b8_scope_tok_s": b8_scope and round(b8_scope, 2),
         "b8_scope_batch": sb,
         "b8_scope_kv": skv,
