@@ -171,6 +171,14 @@ class ServingEngine:
         self._inflight: List[Tuple[jnp.ndarray, List[Tuple[int, int]]]] = []
         self._pending_prompts: Dict[int, np.ndarray] = {}
         self.results: Dict[int, List[int]] = {}
+        # Per-request latency metrics (the reference records TTFT/TPOT
+        # per example, run_longgenbench.py:246-249; serving keeps the
+        # same observability per REQUEST): request_metrics[rid] =
+        # {queue_s, ttft_s, tpot_s, total_s, n_tokens}.  TTFT counts
+        # from submit (queueing included); TPOT is the mean decode
+        # interval over user-visible (fetched) tokens.
+        self.request_metrics: Dict[int, dict] = {}
+        self._submit_ts: Dict[int, float] = {}
         # Per-request sampling (greedy when temperature<=0, the default —
         # matching the reference's do_sample=False).  Each slot carries its
         # own (temperature, top_k, top_p, seed); sampling is deterministic
@@ -213,6 +221,7 @@ class ServingEngine:
         if rid < 0:
             raise RuntimeError("scheduler queue full")
         self._pending_prompts[rid] = np.asarray(prompt_ids, np.int32)
+        self._submit_ts[rid] = time.perf_counter()
         if temperature > 0.0:
             self._samp[rid] = (temperature, top_k, top_p, seed)
         return rid
@@ -320,6 +329,11 @@ class ServingEngine:
     def _start_slot(self, slot, row_cache, tok0, rid, prompt_len, max_new,
                     n_ids):
         self._insert_row(slot, row_cache, tok0, n_ids)
+        now = time.perf_counter()
+        t0 = self._submit_ts.get(rid, now)
+        # The prefill's first token is host-visible right here.
+        self.request_metrics[rid] = {"queue_s": now - t0,
+                                     "ttft_s": now - t0}
         (self._samp_t[slot], self._samp_k[slot], self._samp_p[slot],
          self._samp_seed[slot]) = self._samp.get(rid, (0.0, 0, 1.0, 0))
         s = self.slots[slot]
@@ -349,6 +363,14 @@ class ServingEngine:
     def _finish(self, slot: int):
         s = self.slots[slot]
         self.results[s.request_id] = list(s.tokens)
+        m = self.request_metrics.get(s.request_id)
+        if m is not None:
+            now = time.perf_counter()
+            t0 = self._submit_ts.pop(s.request_id, now)
+            m["total_s"] = now - t0
+            m["n_tokens"] = len(s.tokens)
+            m["tpot_s"] = ((m["total_s"] - m["ttft_s"])
+                           / max(len(s.tokens) - 1, 1))
         self.sched.finish(slot)
         self._samp.pop(s.request_id, None)
         self._samp_t[slot] = 0.0

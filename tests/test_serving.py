@@ -473,3 +473,24 @@ def test_serving_headwise_matches_single_stream():
                                jnp.array([len(p)], jnp.int32), 24, -1)
         np.testing.assert_array_equal(np.asarray(gen[0]),
                                       np.array(results[rid]))
+
+
+def test_serving_request_metrics():
+    """Per-request latency observability (the reference records TTFT/
+    TPOT per example; serving keeps it per request): every completed
+    request carries consistent queue/ttft/tpot/total figures."""
+    eng, comp, params = _mk_engine(max_slots=2)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 512, 80 + 9 * i).astype(np.int32)
+               for i in range(4)]
+    ids = [eng.submit(p, 6) for p in prompts]
+    results = eng.run()
+    for rid in ids:
+        m = eng.request_metrics[rid]
+        assert 0 <= m["queue_s"] <= m["ttft_s"] <= m["total_s"]
+        assert m["n_tokens"] == len(results[rid]) == 6
+        assert m["tpot_s"] >= 0
+    # Later-queued requests waited for a slot: their queue time exceeds
+    # the first admissions'.
+    assert eng.request_metrics[ids[-1]]["queue_s"] >= \
+        eng.request_metrics[ids[0]]["queue_s"]
