@@ -179,6 +179,7 @@ class ServingEngine:
         # interval over user-visible (fetched) tokens.
         self.request_metrics: Dict[int, dict] = {}
         self._submit_ts: Dict[int, float] = {}
+        self._admit_ts: Dict[int, float] = {}
         # Per-request sampling (greedy when temperature<=0, the default —
         # matching the reference's do_sample=False).  Each slot carries its
         # own (temperature, top_k, top_p, seed); sampling is deterministic
@@ -307,6 +308,9 @@ class ServingEngine:
             if adm is None:
                 return admitted
             slot, rid, prompt_len, max_new = adm
+            # Queue wait ends HERE (slot granted); the prefill that
+            # follows counts toward TTFT, not queueing.
+            self._admit_ts[rid] = time.perf_counter()
             ids = self._pending_prompts.pop(rid)
             bucket = self.ecfg.bucket_for(len(ids))
             toks = np.zeros((1, bucket), np.int32)
@@ -331,9 +335,11 @@ class ServingEngine:
         self._insert_row(slot, row_cache, tok0, n_ids)
         now = time.perf_counter()
         t0 = self._submit_ts.get(rid, now)
-        # The prefill's first token is host-visible right here.
-        self.request_metrics[rid] = {"queue_s": now - t0,
-                                     "ttft_s": now - t0}
+        # The prefill's first token is host-visible right here; queue
+        # wait ended when the slot was granted (_admit).
+        self.request_metrics[rid] = {
+            "queue_s": self._admit_ts.pop(rid, now) - t0,
+            "ttft_s": now - t0}
         (self._samp_t[slot], self._samp_k[slot], self._samp_p[slot],
          self._samp_seed[slot]) = self._samp.get(rid, (0.0, 0, 1.0, 0))
         s = self.slots[slot]

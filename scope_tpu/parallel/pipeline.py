@@ -52,7 +52,8 @@ def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
 def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
                    softmax_f32: bool, tied: bool, comp, caps,
                    embed, final_norm, lm_head, layers,
-                   token, vpos, ck, cv, length, force_gate, force_nk):
+                   token, vpos, ck, cv, length, force_gate, force_nk,
+                   prompt_len):
     """Runs INSIDE shard_map.  layers: stage-local [L/S, ...] weight
     stack; ck/cv: stage-local [L/S, B, Hkv, cap, D]; token/vpos: [B]
     replicated.  With ``comp`` set this is the FORCE program: each stage
@@ -78,7 +79,17 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
     if comp is not None:
         from scope_tpu.compression.schedulers import (block_map,
                                                       block_width)
-        pseg_all = jnp.full((B,), comp.max_capacity_prompt, jnp.int32)
+        # pseg/positional mirror the single-device force path
+        # (models/llama.py): method-specific metrics re-rank from slot
+        # 0 (slm positionally); allkv protects the recorded prompt.
+        positional = comp.decoding_metric == "slm"
+        if comp.decoding_metric in ("h2o", "slm", "pyramidinfer"):
+            pseg_all = jnp.zeros((B,), jnp.int32)
+        elif comp.method in ("allkv", "fullkv"):
+            pseg_all = prompt_len
+        else:
+            pseg_all = jnp.full((B,), comp.max_capacity_prompt,
+                                jnp.int32)
 
     # All replicas embed the full batch (tiny at decode width 1); the
     # ripple below only ever reads/writes microbatch slices.
@@ -120,7 +131,7 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
                 gate_m = lax.dynamic_slice_in_dim(force_gate, rows0, MB, 0)
                 nk_m = lax.dynamic_slice_in_dim(force_nk, rows0, MB, 0)
                 src_blk, _ = block_map(comp, caps, probs, ln_m + 1,
-                                       pseg_m, nk_m, gate_m, False)
+                                       pseg_m, nk_m, gate_m, positional)
                 blkW = block_width(comp, caps)
                 srcc = jnp.clip(jnp.broadcast_to(src_blk, (MB, Hkv, blkW)),
                                 0, cap - 1)[..., None]
@@ -163,12 +174,9 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
         # (525MB bf16 at 1B) every step (see llama._lm_logits).
         is_last = s_idx == S - 1
         h = rms_norm(xs_out, final_norm, spec.rms_norm_eps)
-        if tied:
-            lg = jnp.einsum("mse,ve->msv", h, lm_head.astype(h.dtype)
-                            )[:, 0].astype(jnp.float32)
-        else:
-            lg = jnp.einsum("mse,ev->msv", h, lm_head.astype(h.dtype)
-                            )[:, 0].astype(jnp.float32)
+        head_spec = "mse,ve->msv" if tied else "mse,ev->msv"
+        lg = jnp.einsum(head_spec, h, lm_head.astype(h.dtype)
+                        )[:, 0].astype(jnp.float32)
         lg_delta = jnp.zeros_like(logits_buf)
         lg_delta = lax.dynamic_update_slice_in_dim(lg_delta, lg, rows0,
                                                    axis=0)
@@ -194,7 +202,8 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
 def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
                    ck, cv, length, *, n_micro: int = 0,
                    softmax_f32: bool = True, comp=None, caps=None,
-                   force_row_gate=None, force_n_keep=None):
+                   force_row_gate=None, force_n_keep=None,
+                   prompt_len=None):
     """One pipeline-parallel decode step.
 
     params: llama.init_params tree (layer stacks shard over the stage
@@ -206,7 +215,11 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
     ``caps`` (schedulers.DecodeCaps) and the host-planned per-row
     ``force_row_gate``/``force_n_keep`` [B] (the host-loop force
     contract) — each stage rewrites its local layers, no extra
-    collectives.  Returns (logits [B, V], ck, cv, new_length)."""
+    collectives.  allkv/fullkv fires additionally need ``prompt_len``
+    [B] (the protected prefill segment is the RECORDED prompt, not P)
+    and assume it batch-uniform (the kept block lands at one contiguous
+    offset per microbatch).  Returns (logits [B, V], ck, cv,
+    new_length)."""
     try:
         from jax import shard_map
     except ImportError:
@@ -236,16 +249,22 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
             force_row_gate = jnp.ones((B,), bool)
         if force_n_keep is None:
             raise ValueError("force steps need force_n_keep")
+        if comp.method in ("allkv", "fullkv") and prompt_len is None:
+            raise ValueError("allkv/fullkv force steps need prompt_len "
+                             "(the protected segment is the recorded "
+                             "prompt, not max_capacity_prompt)")
     else:
         force_row_gate = jnp.zeros((B,), bool)
         force_n_keep = jnp.zeros((B,), jnp.int32)
+    if prompt_len is None:
+        prompt_len = jnp.zeros((B,), jnp.int32)
     fn = partial(_pp_step_local, spec, S, n_micro, softmax_f32, tied,
                  comp, caps)
     lspec = {name: P(STAGE_AXIS) for name in params["layers"]}
     kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(), P(), lspec, P(), P(), P(STAGE_AXIS), P(STAGE_AXIS),
-                  P(), P(), P()),
+                  P(), P(), P(), P()),
         out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P()))
     try:
         sharded = shard_map(fn, check_vma=False, **kwargs)
@@ -253,4 +272,4 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
         sharded = shard_map(fn, check_rep=False, **kwargs)
     return sharded(params["embed"], params["final_norm"], lm_head,
                    params["layers"], token, vpos, ck, cv, length,
-                   force_row_gate, force_n_keep)
+                   force_row_gate, force_n_keep, prompt_len)

@@ -58,6 +58,7 @@ _SLOW = {
     ("test_sampling", "test_serving_per_request_sampling"),
     ("test_pipeline", "test_pp_decode_matches_single_device"),
     ("test_pipeline", "test_pp_decode_with_h2o_jump_fire_matches_single_device"),
+    ("test_pipeline", "test_pp_allkv_fire_uses_recorded_prompt_len"),
     ("test_serving", "test_serving_method_specific_metrics_match_single_stream"),
     ("test_lazy_evict", "test_lazy_matches_eager_tokens_and_live_counts"),
     ("test_lazy_evict", "test_lazy_compaction_mid_run"),

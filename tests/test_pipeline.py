@@ -131,3 +131,64 @@ def test_pp_decode_with_h2o_jump_fire_matches_single_device():
     assert fired, "test window never crossed a jump wave"
     np.testing.assert_array_equal(np.stack(ref_seq), np.stack(pp_seq))
     assert int(length[0]) == sched_pp.length == sched_ref.length
+
+
+def test_pp_allkv_fire_uses_recorded_prompt_len():
+    """allkv fires through PP protect the RECORDED prompt segment (not
+    max_capacity_prompt) — pp_decode_step takes prompt_len and matches
+    the single-device host-scheduled path token-for-token."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    comp = CompressionConfig(method="allkv", decoding_metric="fixed",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=16,
+                             decoding_recent_size=8,
+                             evict_per_qhead=False)
+    batch, steps, plen = 4, 20, 100
+    params = llama.init_params(SPEC, jax.random.key(2), jnp.float32)
+    rng = np.random.default_rng(4)
+    toks = jnp.asarray(rng.integers(0, 512, (batch, 128)), jnp.int32)
+    tl = jnp.full((batch,), plen, jnp.int32)
+    from functools import partial
+    logits0, cache, state = jax.jit(partial(llama.prefill, SPEC, comp,
+                                            ECFG))(params, toks, tl)
+    tok0 = jnp.argmax(logits0, -1).astype(jnp.int32)
+    ck0, cv0 = np.asarray(cache.k), np.asarray(cache.v)
+
+    from scope_tpu.engine.host_loop import HostScheduledDecoder
+    from scope_tpu.models.llama import derive_statics
+    dec = HostScheduledDecoder(SPEC, comp, ECFG)
+    caps = derive_statics(SPEC, comp, ECFG).caps
+
+    sched_ref = dec.new_scheduler(plen)
+    ref_tok, ref_cache, ref_state = tok0, cache, state
+    ref_seq = []
+    for s in range(steps):
+        logits, ref_cache, ref_state = dec.step(
+            sched_ref, params, ref_tok, tl + s, ref_cache, ref_state)
+        ref_tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        ref_seq.append(np.asarray(ref_tok))
+
+    mesh = make_pp_mesh(2, jax.devices()[:2])
+    sched_pp = dec.new_scheduler(plen)
+    ck, cv = jnp.asarray(ck0), jnp.asarray(cv0)
+    length = jnp.full((batch,), plen, jnp.int32)
+    pp_tok, pp_seq, fired = tok0, [], False
+    for s in range(steps):
+        plan = sched_pp.plan_step()
+        if plan.fire:
+            fired = True
+            logits, ck, cv, length = pp_decode_step(
+                mesh, SPEC, params, pp_tok, tl + s, ck, cv, length,
+                n_micro=2, comp=comp, caps=caps, prompt_len=tl,
+                force_n_keep=jnp.full((batch,), plan.n_keep, jnp.int32))
+        else:
+            logits, ck, cv, length = pp_decode_step(
+                mesh, SPEC, params, pp_tok, tl + s, ck, cv, length,
+                n_micro=2)
+        pp_tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        pp_seq.append(np.asarray(pp_tok))
+
+    assert fired, "allkv fixed never fired in the window"
+    np.testing.assert_array_equal(np.stack(ref_seq), np.stack(pp_seq))
+    assert int(length[0]) == sched_pp.length == sched_ref.length

@@ -488,6 +488,9 @@ def test_serving_request_metrics():
     for rid in ids:
         m = eng.request_metrics[rid]
         assert 0 <= m["queue_s"] <= m["ttft_s"] <= m["total_s"]
+        # Queue wait ends at slot grant; the prefill after it counts
+        # toward TTFT only — the two must not be the same instant.
+        assert m["ttft_s"] > m["queue_s"]
         assert m["n_tokens"] == len(results[rid]) == 6
         assert m["tpot_s"] >= 0
     # Later-queued requests waited for a slot: their queue time exceeds
