@@ -613,6 +613,7 @@ def main():
     from scope_tpu.ops import quant
     params = quant.quantize_layer_weights(params)
     tps_best = tps_parity
+    headline_is_serving_config = False
     for b, lz, ch in ((192, 256, (16, 8)), (192, 256, ()),
                       (160, 256, (16, 8)), (128, 256, ()), (192, 0, ())):
         try:
@@ -620,6 +621,7 @@ def main():
                                evict_per_qhead=False, lazy=lz, chunks=ch)
             if t > tps_best:
                 tps_best, best_b = t, b
+                headline_is_serving_config = True
             break
         except Exception as e:
             log(f"batch={b}/int8/kvhead/lazy={lz}/chunks={ch} run failed "
@@ -649,9 +651,12 @@ def main():
     # Roofline accounting for the headline (live cache ~2048+512+staging
     # slots at int8) and the matched baseline (10k at int8).
     # best_b tracks whichever ladder entry actually produced tps_best —
-    # a b128 fallback (or a parity-only run) must not be accounted as a
-    # 192-row KV read.
-    rl_best = roofline(spec, params, best_b, tps_best, 2650, kv_bytes=1)
+    # a b128 fallback must not be accounted as a 192-row KV read.  If
+    # only the parity fallback ran, skip the roofline entirely: its
+    # assumptions (int8 KV, kv-head cache, quantized weights) don't
+    # describe the parity config and would overstate GB/s ~8x.
+    rl_best = (roofline(spec, params, best_b, tps_best, 2650, kv_bytes=1)
+               if headline_is_serving_config else None)
     rl_matched = roofline(spec, params, mb, tps_full_matched, 10000,
                           kv_bytes=1)
     log(f"[roofline] headline {rl_best}, matched-baseline {rl_matched}")

@@ -221,6 +221,22 @@ def schedule_decision(
     return row_gate, n_keep, pseg, positional, state
 
 
+def force_pseg(comp: CompressionConfig, batch: int, prompt_len):
+    """(pseg [B], positional) for a host-planned force rewrite — the one
+    policy table shared by the single-device force path (models/llama.py)
+    and the pipeline-parallel force path (parallel/pipeline.py):
+    method-specific metrics re-rank from slot 0 (slm positionally,
+    kv_utils.py:679-700/:881-902/:237-263); allkv/fullkv protect the
+    RECORDED prompt; everything else protects max_capacity_prompt."""
+    positional = comp.decoding_metric == "slm"
+    if comp.decoding_metric in ("h2o", "slm", "pyramidinfer"):
+        return jnp.zeros((batch,), jnp.int32), positional
+    if comp.method in ("allkv", "fullkv"):
+        return prompt_len, positional
+    return jnp.full((batch,), comp.max_capacity_prompt, jnp.int32), \
+        positional
+
+
 def block_width(comp: CompressionConfig, caps: DecodeCaps) -> int:
     """Static width of the rewritten region [pseg, pseg + blkW)."""
     return min(caps.keep_cap + comp.decoding_recent_size, caps.capacity)

@@ -75,14 +75,14 @@ class HostScheduledDecoder:
         if self._lazy and (self._layered or self._quest):
             raise ValueError("lazy_evict supports the layer-uniform "
                              "methods (h2o/snapkv/streamingllm/allkv)")
-        if self._lazy and comp.decoding_metric in ("h2o", "slm",
-                                                   "pyramidinfer"):
+        if self._lazy and comp.decoding_metric in ("h2o", "slm"):
             # These metrics re-rank from slot 0 (no protected prefill
             # gap), which the lazy compactor's gap layout doesn't model;
             # slm additionally keeps positionally, not by score.
+            # (pyramidinfer never reaches here: its method is layered
+            # and the layered check above already rejected lazy.)
             raise ValueError("lazy_evict supports the fixed/linear/jump "
-                             "metrics; run the method-specific metrics "
-                             "eager")
+                             "metrics; run h2o/slm eager")
         self._compact_fn = None
         self._compact_gap = (0 if comp.method in ("allkv", "fullkv")
                              else comp.max_capacity_prompt)

@@ -536,21 +536,9 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 out = og.reshape(B, Hq, 1, D)
             if comp.decoding_metric != "none" and compress_mode == "force":
                 from scope_tpu.compression.schedulers import (block_map,
-                                                              block_width)
-                # slm keeps the lowest slot indices instead of top scores
-                # (kv_utils.py:881-902 intent).
-                positional = comp.decoding_metric == "slm"
-                if comp.decoding_metric in ("h2o", "slm", "pyramidinfer"):
-                    # Method-specific global metrics re-rank the WHOLE
-                    # cache: no protected prefill segment
-                    # (kv_utils.py:679-700, :237-263 — pseg=0, matching
-                    # schedulers.schedule_decision).
-                    pseg = jnp.zeros((B,), jnp.int32)
-                elif comp.method in ("allkv", "fullkv"):
-                    pseg = cache.prompt_len
-                else:
-                    pseg = jnp.full((B,), comp.max_capacity_prompt,
-                                    jnp.int32)
+                                                              block_width,
+                                                              force_pseg)
+                pseg, positional = force_pseg(comp, B, cache.prompt_len)
                 # force_row_gate / force_n_keep: [B] (uniform layers) or
                 # [L, B] (per-layer fire masks — pyramidkv budgets).
                 if force_row_gate is None:

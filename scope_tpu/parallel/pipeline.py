@@ -15,9 +15,10 @@ Scope: the decode hot path, plus host-scheduled SCOPE fires.
 Compression is layer-local (scores, top-k, rewrites never cross layers —
 SURVEY §2.5), so a fire composes with stage sharding as a per-stage
 block_map gather + contiguous write on each stage's local layers — no
-new collectives (pass ``comp``/``caps`` + per-row ``force_row_gate``/
-``force_n_keep`` to :func:`pp_decode_step`, exactly the host-loop force
-contract).  PP exists for MEMORY reach (models whose weights+cache
+new collectives (pass ``comp``/``caps`` + ``force_n_keep`` to
+:func:`pp_decode_step`; fires are BATCH-UNIFORM — the whole pipeline
+assumes uniform lengths, see pp_decode_step).  PP exists for MEMORY
+reach (models whose weights+cache
 exceed one chip's HBM after TP), not single-token latency — a lone
 decode token cannot fill a pipeline; utilization comes from the
 microbatches.
@@ -52,8 +53,7 @@ def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
 def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
                    softmax_f32: bool, tied: bool, comp, caps,
                    embed, final_norm, lm_head, layers,
-                   token, vpos, ck, cv, length, force_gate, force_nk,
-                   prompt_len):
+                   token, vpos, ck, cv, length, force_nk, prompt_len):
     """Runs INSIDE shard_map.  layers: stage-local [L/S, ...] weight
     stack; ck/cv: stage-local [L/S, B, Hkv, cap, D]; token/vpos: [B]
     replicated.  With ``comp`` set this is the FORCE program: each stage
@@ -78,18 +78,10 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
 
     if comp is not None:
         from scope_tpu.compression.schedulers import (block_map,
-                                                      block_width)
-        # pseg/positional mirror the single-device force path
-        # (models/llama.py): method-specific metrics re-rank from slot
-        # 0 (slm positionally); allkv protects the recorded prompt.
-        positional = comp.decoding_metric == "slm"
-        if comp.decoding_metric in ("h2o", "slm", "pyramidinfer"):
-            pseg_all = jnp.zeros((B,), jnp.int32)
-        elif comp.method in ("allkv", "fullkv"):
-            pseg_all = prompt_len
-        else:
-            pseg_all = jnp.full((B,), comp.max_capacity_prompt,
-                                jnp.int32)
+                                                      block_width,
+                                                      force_pseg)
+        # One shared policy table with the single-device force path.
+        pseg_all, positional = force_pseg(comp, B, prompt_len)
 
     # All replicas embed the full batch (tiny at decode width 1); the
     # ripple below only ever reads/writes microbatch slices.
@@ -128,8 +120,10 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
                 # contiguous write as the single-device force path
                 # (models/llama.py), on the appended microbatch slice.
                 pseg_m = lax.dynamic_slice_in_dim(pseg_all, rows0, MB, 0)
-                gate_m = lax.dynamic_slice_in_dim(force_gate, rows0, MB, 0)
                 nk_m = lax.dynamic_slice_in_dim(force_nk, rows0, MB, 0)
+                # Fires are batch-uniform (pipeline contract): every row
+                # of the microbatch rewrites.
+                gate_m = jnp.ones((MB,), bool)
                 src_blk, _ = block_map(comp, caps, probs, ln_m + 1,
                                        pseg_m, nk_m, gate_m, positional)
                 blkW = block_width(comp, caps)
@@ -189,11 +183,9 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
     x_buf, logits_buf, ck, cv = lax.fori_loop(
         0, n_rounds, round_body, (x_buf, logits_buf, ck, cv))
     if comp is not None:
-        # Fired rows shrink to pseg + n_keep + r (uniform across layers
-        # and stages — length is one [B] stream for these methods).
-        new_len = jnp.where(force_gate,
-                            pseg_all + force_nk
-                            + comp.decoding_recent_size, length + 1)
+        # All rows shrink to pseg + n_keep + r (fires are batch-uniform
+        # and layer-uniform — length is one [B] stream).
+        new_len = pseg_all + force_nk + comp.decoding_recent_size
     else:
         new_len = length + 1
     return logits_buf, ck, cv, new_len
@@ -202,8 +194,7 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
 def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
                    ck, cv, length, *, n_micro: int = 0,
                    softmax_f32: bool = True, comp=None, caps=None,
-                   force_row_gate=None, force_n_keep=None,
-                   prompt_len=None):
+                   force_n_keep=None, prompt_len=None):
     """One pipeline-parallel decode step.
 
     params: llama.init_params tree (layer stacks shard over the stage
@@ -212,14 +203,15 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
     (default = n_stages) must divide the batch.
 
     Hot steps: leave ``comp`` None.  SCOPE fire steps: pass ``comp`` +
-    ``caps`` (schedulers.DecodeCaps) and the host-planned per-row
-    ``force_row_gate``/``force_n_keep`` [B] (the host-loop force
-    contract) — each stage rewrites its local layers, no extra
-    collectives.  allkv/fullkv fires additionally need ``prompt_len``
-    [B] (the protected prefill segment is the RECORDED prompt, not P)
-    and assume it batch-uniform (the kept block lands at one contiguous
-    offset per microbatch).  Returns (logits [B, V], ck, cv,
-    new_length)."""
+    ``caps`` (schedulers.DecodeCaps) and the host-planned
+    ``force_n_keep`` [B] — each stage rewrites its local layers, no
+    extra collectives.  Fires are BATCH-UNIFORM by contract: the whole
+    pipeline runs one shared length stream (appends and block writes
+    land at row 0's offsets), so the host must drive all rows on one
+    schedule — mixed-gate serving belongs to the non-PP engine.
+    allkv/fullkv fires additionally need ``prompt_len`` [B] (the
+    protected segment is the RECORDED prompt, not P), batch-uniform
+    likewise.  Returns (logits [B, V], ck, cv, new_length)."""
     try:
         from jax import shard_map
     except ImportError:
@@ -245,8 +237,6 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
     if tied:
         lm_head = params["embed"]
     if comp is not None:
-        if force_row_gate is None:
-            force_row_gate = jnp.ones((B,), bool)
         if force_n_keep is None:
             raise ValueError("force steps need force_n_keep")
         if comp.method in ("allkv", "fullkv") and prompt_len is None:
@@ -254,7 +244,6 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
                              "(the protected segment is the recorded "
                              "prompt, not max_capacity_prompt)")
     else:
-        force_row_gate = jnp.zeros((B,), bool)
         force_n_keep = jnp.zeros((B,), jnp.int32)
     if prompt_len is None:
         prompt_len = jnp.zeros((B,), jnp.int32)
@@ -264,7 +253,7 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
     kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(), P(), lspec, P(), P(), P(STAGE_AXIS), P(STAGE_AXIS),
-                  P(), P(), P(), P()),
+                  P(), P(), P()),
         out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P()))
     try:
         sharded = shard_map(fn, check_vma=False, **kwargs)
@@ -272,4 +261,4 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
         sharded = shard_map(fn, check_rep=False, **kwargs)
     return sharded(params["embed"], params["final_norm"], lm_head,
                    params["layers"], token, vpos, ck, cv, length,
-                   force_row_gate, force_n_keep, prompt_len)
+                   force_n_keep, prompt_len)

@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--spec", type=str, default="llama-3.2-1b")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model shapes (fast validation)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="model-axis (head) shard width; DP takes the "
+                        "rest of each chip count")
     p.add_argument("--batch-per-chip", type=int, default=8,
                    help="DP batch rows per data-axis shard")
     p.add_argument("--prompt", type=int, default=2048)
@@ -84,19 +87,13 @@ def main(argv=None):
     print(f"devices: {len(devs)} x {devs[0].platform}; ladder {ladder}")
     rows = []
     for n in ladder:
-        # DP fills first (KV capacity scales with chips), TP takes the
-        # rest up to the head count.
-        n_model = 1
-        while (n_model * 2 <= n
-               and spec.num_kv_heads % (n_model * 2) == 0
-               and n // (n_model * 2) * (n_model * 2) == n):
-            if n // (n_model * 2) >= 1 and n % (n_model * 2) == 0:
-                n_model *= 2
-            else:
-                break
-        n_model = min(n_model, spec.num_kv_heads)
+        # DP fills first: every added chip adds KV capacity AND batch
+        # reach (decode is bandwidth-bound; TP splits heads without
+        # growing the servable batch).  --tp forces a model-axis width
+        # for configs whose weights+cache need head sharding.
+        n_model = min(args.tp, spec.num_kv_heads, n)
         while n % n_model:
-            n_model //= 2
+            n_model -= 1
         n_data = n // n_model
         mesh = make_mesh(n_data=n_data, n_model=n_model,
                          devices=devs[:n])

@@ -219,7 +219,10 @@ def test_scaling_curve_harness_runs():
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        scaling_curve.main(["--tiny", "--steps", "2"])
+        scaling_curve.main(["--tiny", "--steps", "2"])          # DP-first
+        scaling_curve.main(["--tiny", "--steps", "2", "--tp", "2"])
     out = buf.getvalue()
     assert "chips=  1" in out and "chips=  8" in out
+    assert "mesh=8x1" in out          # DP fills first by default
+    assert "mesh=4x2" in out          # --tp carves the model axis
     assert "tok_s" in out
