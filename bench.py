@@ -489,7 +489,7 @@ def run_serving_engine(spec, params, batch, *, prompt_len=2048,
     return tps
 
 
-def run_8b_leg(lazy=256):
+def run_8b_leg(lazy=256, params=None):
     """North-star shapes (BASELINE.json: decode tok/s/chip at 8B under
     20% KV budget): Llama-3-8B weight-int8 on one v5e chip.  Compression
     buys batch capacity, and after the round-4 nibble-plane fix int4 KV
@@ -504,7 +504,8 @@ def run_8b_leg(lazy=256):
     from scope_tpu.models.registry import get_spec
 
     spec = get_spec("llama-3-8b")
-    params = fake_params_int8(spec)
+    if params is None:
+        params = fake_params_int8(spec)
     scope = full = None
     sb = fb = 0
     skv = "int8"
@@ -667,15 +668,17 @@ def main():
     b_srv = 0
     skv = "int8"
     rl_8b = None
+    from scope_tpu.models.registry import get_spec as _gs
+    spec8 = _gs("llama-3-8b")
+    # Built ONCE and shared with run_8b_leg — the ~8GB on-device weight
+    # synthesis through the tunnel is minutes of work.
+    params8 = fake_params_int8(spec8)
     try:
-        b8_scope, b8_full, sb, fb, skv = run_8b_leg()
+        b8_scope, b8_full, sb, fb, skv = run_8b_leg(params=params8)
     except Exception as e:
         log(f"8B leg failed entirely: {type(e).__name__}: {e}")
         log(traceback.format_exc(limit=5))
     if b8_scope:
-        from scope_tpu.models.registry import get_spec as _gs
-        spec8 = _gs("llama-3-8b")
-        params8 = fake_params_int8(spec8)
         rl_8b = roofline(spec8, params8, sb, b8_scope, 2650,
                          kv_bytes=0.5 if skv == "int4" else 1)
         # 8B through the REAL serving engine (VERDICT r3 #7): admissions

@@ -373,7 +373,9 @@ class ServingEngine:
         if m is not None:
             now = time.perf_counter()
             t0 = self._submit_ts.pop(s.request_id, now)
-            m["total_s"] = now - t0
+            # Clamped: a replayed finish after restore() can see clock
+            # bases from before the recovery.
+            m["total_s"] = max(now - t0, m["ttft_s"])
             m["n_tokens"] = len(s.tokens)
             m["tpot_s"] = ((m["total_s"] - m["ttft_s"])
                            / max(len(s.tokens) - 1, 1))
@@ -597,6 +599,13 @@ class ServingEngine:
             "native_sched": self.sched.snapshot(),
             "pending_prompts": {k: v.copy()
                                 for k, v in self._pending_prompts.items()},
+            # Latency bookkeeping travels too: a replayed _finish must
+            # not recompute totals from a missing submit timestamp
+            # (negative tpot), and a fresh-engine restore must keep
+            # completed requests' metrics addressable.
+            "request_metrics": copy.deepcopy(self.request_metrics),
+            "submit_ts": dict(self._submit_ts),
+            "admit_ts": dict(self._admit_ts),
         }
 
     def restore(self, snap: dict):
@@ -626,6 +635,10 @@ class ServingEngine:
         self.sched.restore(snap["native_sched"])
         self._pending_prompts = {k: v.copy()
                                  for k, v in snap["pending_prompts"].items()}
+        self.request_metrics = copy.deepcopy(
+            snap.get("request_metrics", {}))
+        self._submit_ts = dict(snap.get("submit_ts", {}))
+        self._admit_ts = dict(snap.get("admit_ts", {}))
         self._inflight = []
         self._pending_prefills = []
 

@@ -27,6 +27,8 @@ microbatches.
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from functools import partial
 from typing import Tuple
 
@@ -236,6 +238,20 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
     tied = lm_head is None
     if tied:
         lm_head = params["embed"]
+    def _assert_uniform(x, name):
+        # Appends and fire writes land at row 0's offsets (pipeline
+        # contract) — a mixed batch would corrupt silently.  Only
+        # checkable when the array is concrete (the usual host-driven
+        # call); traced values are the caller's responsibility.
+        try:
+            v = np.asarray(x)
+        except Exception:
+            return
+        if np.unique(v).size > 1:
+            raise ValueError(f"pipeline decode requires batch-uniform "
+                             f"{name}; got {v}")
+
+    _assert_uniform(length, "length")
     if comp is not None:
         if force_n_keep is None:
             raise ValueError("force steps need force_n_keep")
@@ -243,6 +259,8 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
             raise ValueError("allkv/fullkv force steps need prompt_len "
                              "(the protected segment is the recorded "
                              "prompt, not max_capacity_prompt)")
+        if prompt_len is not None:
+            _assert_uniform(prompt_len, "prompt_len")
     else:
         force_n_keep = jnp.zeros((B,), jnp.int32)
     if prompt_len is None:

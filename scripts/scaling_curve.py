@@ -102,29 +102,42 @@ def main(argv=None):
         params = shard_params(
             llama.init_params(spec, jax.random.key(0),
                               jnp.dtype(ecfg.dtype)), mesh)
-        rng = np.random.default_rng(0)
-        toks = jnp.asarray(rng.integers(1, spec.vocab_size,
-                                        (batch, ecfg.bucket_for(prompt))),
-                           jnp.int32)
-        tl = jnp.full((batch,), prompt, jnp.int32)
-        logits, cache, state = jax.jit(
-            partial(llama.prefill, spec, comp, ecfg))(params, toks, tl)
+        # Bounded-sub-batch prefill + cache tiling (bench.build_state):
+        # a single full-batch prefill materializes the whole unsharded
+        # cache before shard_cache and OOMs long before decode does
+        # (CLAUDE.md).
+        from bench import build_state
+        tok, tl, cache, state = build_state(spec, comp, ecfg, params,
+                                            prompt, batch=batch,
+                                            prefill_batch=8)
         cache = shard_cache(cache, mesh)
-        tok = jnp.argmax(logits, -1).astype(jnp.int32)
         step = jax.jit(partial(llama.decode_step, spec, comp, ecfg),
                        donate_argnums=(3,))
-        for s in range(4):                       # compile + warm
+        # Warm PAST the first jump fire (deterministic host mirror) —
+        # a fire-free window overstates steady state and lets the
+        # cond's fire branch compile mid-timing (CLAUDE.md).
+        from scope_tpu.compression.host_sched import HostScheduler
+        from scope_tpu.compression.schedulers import static_keep_cap
+        sim = HostScheduler(comp, spec.num_layers, prompt,
+                            min(comp.max_capacity_prompt, prompt),
+                            static_keep_cap(comp, ecfg.max_new_tokens))
+        ff = 0
+        while ff < ecfg.max_new_tokens and not sim.plan_step().fire:
+            ff += 1
+        warm = min(ff + comp.delta + 2, ecfg.max_new_tokens - 1)
+        steps = max(args.steps, 2 * comp.delta)
+        for s in range(warm):
             logits, cache, state = step(params, tok, tl + s, cache, state)
             tok = jnp.argmax(logits, -1).astype(jnp.int32)
         _ = jax.device_get(tok)
         t0 = time.perf_counter()
-        for s in range(args.steps):
-            logits, cache, state = step(params, tok, tl + 4 + s, cache,
-                                        state)
+        for s in range(steps):
+            logits, cache, state = step(params, tok, tl + warm + s,
+                                        cache, state)
             tok = jnp.argmax(logits, -1).astype(jnp.int32)
         _ = jax.device_get(tok)
         dt = time.perf_counter() - t0
-        tps = batch * args.steps / dt
+        tps = batch * steps / dt
         rows.append((n, n_data, n_model, batch, tps))
         print(f"chips={n:3d} mesh={n_data}x{n_model} batch={batch:4d} "
               f"decode {tps:9.1f} tok/s  ({tps / n:8.1f} tok/s/chip)")

@@ -266,7 +266,8 @@ def test_not_host_schedulable():
         HostScheduledDecoder(TINY_LLAMA, comp, ECFG)
 
 
-@pytest.mark.parametrize("metric", ["fixed", "linear", "jump", "none"])
+@pytest.mark.parametrize("metric", ["fixed", "linear", "jump", "none",
+                                    "pyramidinfer"])
 def test_pyramidkv_layered_host_equals_device(metric):
     """PyramidKV: per-layer budgets give per-layer lengths/fire steps —
     the layered host mirror must match the device path token-for-token
