@@ -249,7 +249,7 @@ def _measure_prefill(spec, comp, ecfg, params, prompt_len, reps=3):
         _ = jax.device_get(jnp.argmax(logits, -1))
     dt = (time.perf_counter() - t0) / reps
     log(f"[prefill] {prompt_len} tokens ({comp.method}, "
-        f"{ecfg.resolve_attn_backend()}): {dt*1e3:.1f} ms")
+        f"{ecfg.resolve_attn_backend(prompt_len)}): {dt*1e3:.1f} ms")
     return dt
 
 

@@ -232,7 +232,14 @@ class EngineConfig:
     # R slots of slack so a full-R flush block never clips valid slots.
     decode_ring: int = 0
 
-    def resolve_attn_backend(self) -> str:
+    def resolve_attn_backend(self, seq_len: int = 0) -> str:
+        """Prefill attention backend; ``seq_len`` is the padded prompt
+        length when known.  Measured on v5e (1B, h2o scoring): XLA's
+        chunked path wins short prompts (2048: 61 vs 83 ms; 4096: 242
+        vs 274) but collapses past it (8192: 36.9 s vs the pallas
+        kernel's 0.77 s — the full-S scoring softmax per block stops
+        fitting), so "auto" picks XLA up to 4096 and the fused flash
+        kernel beyond."""
         if self.attn_backend != "auto":
             return self.attn_backend
         import jax
@@ -240,7 +247,9 @@ class EngineConfig:
             platform = jax.devices()[0].platform
         except Exception:
             platform = "cpu"
-        return "pallas" if platform == "tpu" else "xla"
+        if platform != "tpu":
+            return "xla"
+        return "xla" if 0 < seq_len <= 4096 else "pallas"
 
     def cache_capacity(self, comp: CompressionConfig) -> int:
         """Physical slot capacity S_max of the per-layer KV buffer.

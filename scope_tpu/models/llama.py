@@ -224,7 +224,7 @@ def prefill(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 need_colsum_all=need_all, need_colsum_window=need_win,
                 sliding_window=spec.sliding_window,
                 softmax_f32=ecfg.softmax_f32,
-                backend=ecfg.resolve_attn_backend())
+                backend=ecfg.resolve_attn_backend(S))
         x = layer_post(spec, p, x, out)
 
         if comp.evict_per_qhead:
