@@ -568,22 +568,30 @@ def main():
     # compares best-per-chip serving throughput.
     tps_scope4, tps_full4 = run_pair(spec, params, 4)
     log(f"[batch=4] same-batch speedup: {tps_scope4 / tps_full4:.2f}x")
-    # TTFT: one 2048-token prefill through the pallas flash kernel
-    # (fused causal attention + eviction scoring in one pass).
+    # TTFT prefill ladder through the length-aware auto backend: 2048
+    # resolves to XLA's chunked path, 8192/16384 to the pallas flash
+    # kernel — so the PRODUCTION long-prompt path (pallas past 4096,
+    # config.py resolve_attn_backend) is compiled natively and
+    # regression-guarded on real hardware every driver round
+    # (VERDICT r4 Next #1/#6; the 8k split is 0.77s pallas vs 36.9s
+    # XLA — a silent fallback would be unmissable here).
     from scope_tpu.config import CompressionConfig, EngineConfig
-    prefill_s = None
-    try:
-        prefill_s = _measure_prefill(
-            spec,
-            CompressionConfig(method="h2o", decoding_metric="jump",
-                              max_capacity_prompt=2048, window_size=8,
-                              decoding_window_size=512,
-                              decoding_recent_size=256, delta=30),
-            EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
-                         dtype="bfloat16", uniform_lengths=True),
-            params, 2048)
-    except Exception as e:
-        log(f"prefill measure failed: {type(e).__name__}: {e}")
+    prefill_ms = {}
+    for plen in (2048, 8192, 16384):
+        try:
+            dt = _measure_prefill(
+                spec,
+                CompressionConfig(method="h2o", decoding_metric="jump",
+                                  max_capacity_prompt=2048, window_size=8,
+                                  decoding_window_size=512,
+                                  decoding_recent_size=256, delta=30),
+                EngineConfig(max_prompt_len=plen, max_new_tokens=7950,
+                             dtype="bfloat16", uniform_lengths=True),
+                params, plen, reps=3 if plen <= 8192 else 2)
+            prefill_ms[plen] = round(dt * 1e3, 1)
+        except Exception as e:
+            log(f"prefill {plen} measure failed: {type(e).__name__}: {e}")
+            log(traceback.format_exc(limit=3))
     # Parity mode (reference semantics: GQA-expanded per-query-head
     # eviction, llama_model.py:566-567) at its best (batch, kv).  Lazy
     # eviction first: the eager force program materializes per-layer
@@ -661,6 +669,33 @@ def main():
     rl_matched = roofline(spec, params, mb, tps_full_matched, 10000,
                           kv_bytes=1)
     log(f"[roofline] headline {rl_best}, matched-baseline {rl_matched}")
+    # Quantization-accuracy proxy at the headline config (VERDICT r4
+    # Next #2): kept-set overlap + greedy agreement of the int8/int4 KV
+    # cache vs bf16 on the same seeds — the link between "exact fold
+    # algebra" (test_int8_kv/test_int4_kv) and "quantized KV is safe to
+    # sell as the headline config".  Runs the real h2o+jump schedule
+    # past its first fire wave at a small batch (the decision math is
+    # batch-independent).
+    quant_proxy = None
+    try:
+        from scope_tpu.bench.quant_proxy import measure_quant_overlap
+        comp_qp = CompressionConfig(
+            method="h2o", decoding_metric="jump", max_capacity_prompt=2048,
+            window_size=8, decoding_window_size=512,
+            decoding_recent_size=256, delta=30, evict_per_qhead=False)
+        ecfg_qp = EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
+                               dtype="bfloat16", uniform_lengths=True,
+                               lazy_evict=True, lazy_slack=256)
+        quant_proxy = measure_quant_overlap(
+            spec, comp_qp, ecfg_qp, params, 2048,
+            kv_dtypes=("int8", "int4"), batch=2)
+        for kv, m in quant_proxy.items():
+            log(f"[quant-proxy {kv}] kept-set overlap vs bf16 = "
+                f"{m['kept_overlap']}, greedy agree = "
+                f"{m['greedy_agree']} over {m['steps']} steps")
+    except Exception as e:
+        log(f"quant proxy failed: {type(e).__name__}: {e}")
+        log(traceback.format_exc(limit=3))
     # North-star shapes: Llama-3-8B (BASELINE.json) on the one chip.
     del params
     b8_scope = b8_full = b8_serving = None
@@ -716,7 +751,10 @@ def main():
         "parity_mode_tok_s": round(tps_parity, 2),
         "hbm_gbps": rl_best and rl_best["hbm_gbps"],
         "roofline_pct": rl_best and rl_best["roofline_pct"],
-        "prefill_2048_ms": prefill_s and round(prefill_s * 1e3, 1),
+        "prefill_2048_ms": prefill_ms.get(2048),
+        "prefill_8192_ms": prefill_ms.get(8192),
+        "prefill_16384_ms": prefill_ms.get(16384),
+        "quant_proxy": quant_proxy,
         "serving_1b_tok_s": serving_1b and round(serving_1b, 2),
         "b8_scope_tok_s": b8_scope and round(b8_scope, 2),
         "b8_scope_batch": sb,

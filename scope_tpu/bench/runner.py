@@ -83,12 +83,14 @@ def build_compression(args, output_len: int, dataset: str
         decoding_recent_size=args.decoding_recent_size,
         delta=delta, chunk_size=args.chunk_size,
         evict_per_qhead=not args.evict_per_kv_head,
-        # Headwise: the reserved per-head segment tracks the prompt
-        # budget P (reference intent: prefill_max_budget=2048 at the
-        # default P=2048, headwise_attention.py:24); min budget 128
-        # (:26), clamped for sub-128 smoke budgets.
-        headwise_max_budget=P,
-        headwise_min_budget=min(128, P),
+        # Headwise: the reference HARDCODES prefill_max_budget=2048 /
+        # prefill_min_budget=128 independent of P (headwise_attention.py
+        # get_headwise_budget defaults) — parity runs keep those
+        # constants at any P >= 128 (ADVICE r4; reported-as-parity runs
+        # at P != 2048 must reserve the same per-head segment the
+        # reference would).  Sub-128 smoke budgets scale both down to P.
+        headwise_max_budget=2048 if P >= 128 else P,
+        headwise_min_budget=128 if P >= 128 else P,
     )
 
 
@@ -123,8 +125,12 @@ def run_dataset(args, spec, params, tokenizer, dataset: str, fout):
 
     for ex in examples:
         ids = tokenizer.encode(ex.prompt)
-        ids = D.middle_truncate_ids(ids, limit)
-        ids = ids[:ecfg.max_prompt_len]
+        # Middle-truncate at the EFFECTIVE ceiling (model limit AND the
+        # engine's prompt bucket ceiling) — reference semantics
+        # (run_longgenbench.py:167-173) at every limit.  A head-clip here
+        # (`ids[:max_prompt_len]`, the r4 bug) silently dropped the END
+        # of over-long prompts — where LongGenBench packs the questions.
+        ids = D.middle_truncate_ids(ids, min(limit, ecfg.max_prompt_len))
         bucket = ecfg.bucket_for(len(ids))
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :len(ids)] = ids
@@ -168,7 +174,11 @@ def parse_args(argv=None):
                    help="tokenizer path, or 'byte' for the fallback")
     p.add_argument("--max_num_examples", type=int, default=None)
     p.add_argument("--max_new_tokens", type=int, default=None)
-    p.add_argument("--max_prompt_len", type=int, default=8192)
+    p.add_argument("--max_prompt_len", type=int, default=16384,
+                   help="engine prompt-bucket ceiling (clamped to the "
+                        "model's max_position_embeddings); prompts "
+                        "beyond it are middle-truncated, reference "
+                        "semantics (run_longgenbench.py:167-173)")
     p.add_argument("--method", type=str, default="allkv")
     p.add_argument("--max_capacity_prompts", type=int, default=512)
     p.add_argument("--decoding_metric", type=str, default="None")

@@ -70,6 +70,57 @@ def test_middle_truncation():
     assert D.middle_truncate_ids(ids, 200) == ids
 
 
+def test_runner_truncates_middle_at_engine_limit(tmp_path, monkeypatch):
+    """A prompt longer than the ENGINE ceiling must be middle-truncated
+    (reference semantics, run_longgenbench.py:167-173) — not head-clipped
+    (the r4 bug, VERDICT r4 Missing #2: `ids[:max_prompt_len]` silently
+    dropped the END of the prompt, where LongGenBench packs the
+    questions).  Captures exactly which token ids reach the generator."""
+    from scope_tpu.bench.runner import main as runner_main
+    from scope_tpu.engine import generate as G
+
+    # ~600 byte-tokens; engine ceiling 256 (< the model limit).
+    body = "".join(chr(ord("a") + (i % 26)) for i in range(600))
+    f = tmp_path / "gsm8k_30_8shot.jsonl"
+    f.write_text(json.dumps({"prompt": body, "questions": ["q"],
+                             "answers": ["#### 1"]}) + "\n")
+
+    seen = {}
+
+    def fake_generate(self, toks, lengths, out_len):
+        seen["ids"] = toks[0, :int(lengths[0])].tolist()
+
+        class R:
+            gen_lengths = np.array([1])
+            tokens = np.zeros((1, 8), np.int32)
+            ttft_s = 0.0
+            tpot_s = [0.0]
+        return R()
+
+    monkeypatch.setattr(G.StreamingGenerator, "generate", fake_generate)
+    runner_main([
+        "--data_file", str(f), "--datasets", "gsm8k",
+        "--save_dir", str(tmp_path / "results"),
+        "--random_weights", "--model_spec", "tiny-llama",
+        "--tokenizer", "byte",
+        "--method", "h2o", "--decoding_metric", "fixed",
+        "--max_capacity_prompts", "64",
+        "--decoding_window_size", "32", "--decoding_recent_size", "16",
+        "--max_new_tokens", "8", "--max_prompt_len", "256",
+        "--dtype", "float32", "--K", "30",
+    ])
+    from scope_tpu.bench.runner import ByteTokenizer
+    out = (tmp_path / "results" / "tiny-llama_64_tpu" / "gsm8k"
+           / "pre_H2O_dec_fixed.json")
+    rec = json.loads(out.read_text().splitlines()[0])
+    full = ByteTokenizer().encode(rec["prompt"])   # templated prompt
+    assert len(full) > 256
+    assert len(seen["ids"]) == 256
+    # First and last halves of the full id sequence — the packed
+    # questions at the END of the prompt survive.
+    assert seen["ids"] == full[:128] + full[-128:]
+
+
 def test_k_rescale():
     assert D.rescale_k_for_dataset("csqa", 30) == 40
     assert D.rescale_k_for_dataset("csqa", 60) == 80
