@@ -178,8 +178,13 @@ def compact_gather(cache: KVCache, gap: int):
                           ).astype(x.dtype)
 
     def body(_, xs):
-        kl, vl, al = xs                                     # [B,H,cap,D]
-        a = al[:, :, gap:]                                  # [B,H,W]
+        kl, vl, al, lnl = xs                                # [B,H,cap,D]
+        # Never-written tail slots [length, cap) are alive-by-init but
+        # hold no token — without this mask each compaction counted them
+        # into the new length (one attended zero-K/V slot leaked per
+        # compact, device length drifting +1 past the host mirror).
+        a = al[:, :, gap:] & (idx[None, None, :]
+                              < (lnl[:, None, None] - gap))  # [B,H,W]
         # Stable order-preserving ranks: dead slots sink past W.
         key = jnp.where(a, idx[None, None, :], W + idx[None, None, :])
         perm = jnp.argsort(key, axis=-1)                    # [B,H,W]
@@ -189,7 +194,7 @@ def compact_gather(cache: KVCache, gap: int):
         ln = gap + a.sum(axis=-1).astype(jnp.int32)[:, 0]   # [B]
         return 0, (kb, vb, ln)
 
-    _, (kblk, vblk, lns) = lax.scan(body, 0, (k, v, alive))
+    _, (kblk, vblk, lns) = lax.scan(body, 0, (k, v, alive, cache.length))
     return kblk, vblk, lns
 
 

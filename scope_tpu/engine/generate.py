@@ -93,7 +93,17 @@ def sample_logits_rowwise(logits: jnp.ndarray, seeds: jnp.ndarray,
         return jax.random.categorical(key, row)
     choice = jax.vmap(draw)(seeds, counters, v)       # [B] in [0, K)
     sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
-    return jnp.where(temperature > 0.0, sampled.astype(jnp.int32),
+    # Rows asking for UNRESTRICTED sampling (top_k==0 AND top_p>=1) get
+    # exact full-vocabulary temperature sampling — categorical over the
+    # whole [V] row is shape-stable without any top-k bound, so
+    # "top_p=1.0" means the full vocab, matching every other serving
+    # stack (the top_k path above only exists because per-row top_k/top_p
+    # masks need a static candidate width).
+    full_tok = jax.vmap(draw)(seeds, counters, lg / t)
+    unrestricted = (top_k <= 0) & (top_p >= 1.0)
+    sampled = jnp.where(unrestricted, full_tok.astype(jnp.int32),
+                        sampled.astype(jnp.int32))
+    return jnp.where(temperature > 0.0, sampled,
                      greedy_tok)
 
 

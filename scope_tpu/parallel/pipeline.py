@@ -11,7 +11,10 @@ replicated buffer merged with one small psum per round (disjoint
 microbatch slots per stage), so all stages work concurrently once the
 pipeline fills.
 
-Scope: the decode hot path, plus host-scheduled SCOPE fires.
+Scope: the decode hot path, plus host-scheduled SCOPE fires, at the
+production cache formats — int8 KV (per-channel scales stage-shard like
+the weights) and lazy eviction (tombstone fires + :func:`pp_compact_lazy`),
+matching the single-device serving stack (VERDICT r4 #5).
 Compression is layer-local (scores, top-k, rewrites never cross layers —
 SURVEY §2.5), so a fire composes with stage sharding as a per-stage
 block_map gather + contiguous write on each stage's local layers — no
@@ -54,15 +57,22 @@ def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
 
 def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
                    softmax_f32: bool, tied: bool, comp, caps,
+                   int8: bool, lazy: bool,
                    embed, final_norm, lm_head, layers,
-                   token, vpos, ck, cv, length, force_nk, prompt_len):
+                   token, vpos, ck, cv, length, force_nk, prompt_len,
+                   k_scale, v_scale, alive):
     """Runs INSIDE shard_map.  layers: stage-local [L/S, ...] weight
     stack; ck/cv: stage-local [L/S, B, Hkv, cap, D]; token/vpos: [B]
     replicated.  With ``comp`` set this is the FORCE program: each stage
     applies the SCOPE block rewrite to its local layers using this step's
     attention probabilities and the host-planned per-row gates (layer-
     local per SURVEY §2.5 — no cross-stage traffic beyond the normal
-    activation ripple).  Returns (logits [B, V], ck, cv, new_length)."""
+    activation ripple).  ``int8``: ck/cv hold int8 codes with stage-local
+    per-channel scales [L/S, B, Hkv, D] (slot-free, so fires gather codes
+    unchanged — same folds as llama.decode_step).  ``lazy``: fires
+    tombstone the stage-local alive mask [L/S, B, Hkv, cap] instead of
+    the gather rewrite.  Returns (logits [B, V], ck, cv, alive,
+    new_length)."""
     from scope_tpu.models.llama import _grouped_decode_attention, qkv_flat
 
     S = n_stages
@@ -90,7 +100,7 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
     x_buf = jnp.take(embed, token[:, None], axis=0).astype(dtype)
     logits_buf = jnp.zeros((B, spec.vocab_size), jnp.float32)
 
-    def stage_layers(xs, rows0, ckl, cvl, ln):
+    def stage_layers(xs, rows0, ckl, cvl, al, ln):
         """Run this stage's layers on one microbatch slice."""
         cos_m = lax.dynamic_slice_in_dim(cos, rows0, MB, axis=0)
         sin_m = lax.dynamic_slice_in_dim(sin, rows0, MB, axis=0)
@@ -104,6 +114,22 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
             v = qkv[:, :, :, G + 1].transpose(0, 2, 1, 3)
             q = apply_rope(q, cos_m, sin_m)
             k = apply_rope(k, cos_m, sin_m)
+            if int8:
+                # Same folds as llama.decode_step: store the token
+                # quantized, fold the per-channel K scale into q so
+                # attention reads int8 codes, fold the V scale into the
+                # output below.  Scales are slot-free, so stage-sharding
+                # them is a plain [L/S, ...] slice.
+                from scope_tpu.ops import quant
+                ks_m = lax.dynamic_slice(
+                    k_scale, (l, rows0, 0, 0), (1, MB, Hkv, D))[0]
+                vs_m = lax.dynamic_slice(
+                    v_scale, (l, rows0, 0, 0), (1, MB, Hkv, D))[0]
+                k = quant.quantize(k, ks_m)
+                v = quant.quantize(v, vs_m)
+                q = (q.reshape(MB, Hkv, G, D)
+                     * ks_m[:, :, None, :].astype(q.dtype)
+                     ).reshape(MB, Hq, 1, D)
             ckl = lax.dynamic_update_slice(ckl, k[None],
                                            (l, rows0, 0, ln_m[0], 0))
             cvl = lax.dynamic_update_slice(cvl, v[None],
@@ -115,46 +141,88 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
             mask = jnp.broadcast_to(
                 (jnp.arange(cap)[None, :] <= ln_m[:, None])[:, None, :],
                 (MB, Hkv, cap))
+            if lazy:
+                al_m = lax.dynamic_slice(al, (l, rows0, 0, 0),
+                                         (1, MB, Hkv, cap))[0]
+                mask = mask & al_m
             out, probs = _grouped_decode_attention(q, ck_m, cv_m, mask, G,
                                                    softmax_f32=softmax_f32)
+            if int8:
+                out = (out.reshape(MB, Hkv, G, D)
+                       * vs_m[:, :, None, :].astype(out.dtype)
+                       ).reshape(MB, Hq, 1, D)
             if comp is not None:
                 # SCOPE fire on this stage's layer: same block_map +
                 # contiguous write as the single-device force path
                 # (models/llama.py), on the appended microbatch slice.
+                # Fill/drain rounds compute this rewrite too and discard
+                # it via the caller's jnp.where(valid, ...) — (S-1)
+                # wasted top-k+gathers per fire step (ADVICE r4).
+                # Acceptable: fires are ~1/delta·L of steps and a
+                # lax.cond here would put the stacked stage cache
+                # through a conditional (XLA copies cond operands —
+                # see schedulers.block_rewrite_cond).
                 pseg_m = lax.dynamic_slice_in_dim(pseg_all, rows0, MB, 0)
                 nk_m = lax.dynamic_slice_in_dim(force_nk, rows0, MB, 0)
                 # Fires are batch-uniform (pipeline contract): every row
                 # of the microbatch rewrites.
                 gate_m = jnp.ones((MB,), bool)
-                src_blk, _ = block_map(comp, caps, probs, ln_m + 1,
-                                       pseg_m, nk_m, gate_m, positional)
-                blkW = block_width(comp, caps)
-                srcc = jnp.clip(jnp.broadcast_to(src_blk, (MB, Hkv, blkW)),
-                                0, cap - 1)[..., None]
-                kblk = jnp.take_along_axis(ck_m, srcc, axis=2)
-                vblk = jnp.take_along_axis(cv_m, srcc, axis=2)
-                ckl = lax.dynamic_update_slice(
-                    ckl, kblk[None], (l, rows0, 0, pseg_m[0], 0))
-                cvl = lax.dynamic_update_slice(
-                    cvl, vblk[None], (l, rows0, 0, pseg_m[0], 0))
+                if lazy:
+                    # Tombstone fire (llama.decode_step lazy path): kill
+                    # the scored region, scatter the top-k back alive —
+                    # no gather, no big write-back.  Physical slots are
+                    # reclaimed by pp_compact_lazy.
+                    rr = comp.decoding_recent_size
+                    d_sl = jnp.arange(cap, dtype=jnp.int32)
+                    region = ((d_sl[None, None, :] >= pseg_m[:, None, None])
+                              & (d_sl[None, None, :]
+                                 < (ln_m + 1 - rr)[:, None, None]))
+                    sc = jnp.where(region & al_m, probs, -jnp.inf)
+                    kc = min(caps.keep_cap, cap)
+                    topk_idx = lax.top_k(sc, kc)[1]
+                    new_al = al_m & ~region
+                    jpos = jnp.arange(kc, dtype=jnp.int32)[None, None, :]
+                    live = jpos < nk_m[:, None, None]
+                    idx = jnp.where(live, topk_idx, cap)
+                    bb = jnp.broadcast_to(
+                        jnp.arange(MB)[:, None, None], idx.shape)
+                    hh = jnp.broadcast_to(
+                        jnp.arange(Hkv)[None, :, None], idx.shape)
+                    new_al = new_al.at[bb, hh, idx].set(True, mode="drop")
+                    al = lax.dynamic_update_slice(al, new_al[None],
+                                                  (l, rows0, 0, 0))
+                else:
+                    src_blk, _ = block_map(comp, caps, probs, ln_m + 1,
+                                           pseg_m, nk_m, gate_m, positional)
+                    blkW = block_width(comp, caps)
+                    srcc = jnp.clip(
+                        jnp.broadcast_to(src_blk, (MB, Hkv, blkW)),
+                        0, cap - 1)[..., None]
+                    kblk = jnp.take_along_axis(ck_m, srcc, axis=2)
+                    vblk = jnp.take_along_axis(cv_m, srcc, axis=2)
+                    ckl = lax.dynamic_update_slice(
+                        ckl, kblk[None], (l, rows0, 0, pseg_m[0], 0))
+                    cvl = lax.dynamic_update_slice(
+                        cvl, vblk[None], (l, rows0, 0, pseg_m[0], 0))
             xs = xs + wdot(out.transpose(0, 2, 1, 3).reshape(MB, 1,
                                                              Hq * D),
                            p, "wo")
             xs = xs + mlp(rms_norm(xs, p["ln_mlp"], spec.rms_norm_eps), p)
-        return xs, ckl, cvl
+        return xs, ckl, cvl, al
 
     def round_body(r, carry):
-        x_buf, logits_buf, ckl, cvl = carry
+        x_buf, logits_buf, ckl, cvl, al = carry
         m = r - s_idx                                  # my microbatch
         valid = (m >= 0) & (m < n_micro)
         mb = jnp.clip(m, 0, n_micro - 1)
         rows0 = mb * MB
         xs = lax.dynamic_slice_in_dim(x_buf, rows0, MB, axis=0)
-        xs_new, ckl_new, cvl_new = stage_layers(xs, rows0, ckl, cvl,
-                                                length)
+        xs_new, ckl_new, cvl_new, al_new = stage_layers(xs, rows0, ckl,
+                                                        cvl, al, length)
         # Invalid rounds (pipeline fill/drain) must not mutate anything.
         ckl = jnp.where(valid, ckl_new, ckl)
         cvl = jnp.where(valid, cvl_new, cvl)
+        al = jnp.where(valid, al_new, al)
         xs_out = jnp.where(valid, xs_new, xs)
         # Hand the microbatch to the next stage: stages write DISJOINT
         # slots this round (m = r - s is unique per s), so one psum of
@@ -179,24 +247,29 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
         logits_buf = logits_buf + lax.psum(
             jnp.where(valid & is_last, lg_delta,
                       jnp.zeros_like(lg_delta)), STAGE_AXIS)
-        return x_buf, logits_buf, ckl, cvl
+        return x_buf, logits_buf, ckl, cvl, al
 
     n_rounds = n_micro + S - 1
-    x_buf, logits_buf, ck, cv = lax.fori_loop(
-        0, n_rounds, round_body, (x_buf, logits_buf, ck, cv))
-    if comp is not None:
+    x_buf, logits_buf, ck, cv, alive = lax.fori_loop(
+        0, n_rounds, round_body, (x_buf, logits_buf, ck, cv, alive))
+    if comp is not None and not lazy:
         # All rows shrink to pseg + n_keep + r (fires are batch-uniform
         # and layer-uniform — length is one [B] stream).
         new_len = pseg_all + force_nk + comp.decoding_recent_size
     else:
+        # Hot steps, and LAZY fires (which tombstone without moving
+        # slots): ``length`` tracks the PHYSICAL fill pointer, exactly
+        # like the single-device lazy path — the host mirrors the live
+        # count (host_sched) and schedules pp_compact_lazy.
         new_len = length + 1
-    return logits_buf, ck, cv, new_len
+    return logits_buf, ck, cv, alive, new_len
 
 
 def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
                    ck, cv, length, *, n_micro: int = 0,
                    softmax_f32: bool = True, comp=None, caps=None,
-                   force_n_keep=None, prompt_len=None):
+                   force_n_keep=None, prompt_len=None,
+                   k_scale=None, v_scale=None, alive=None):
     """One pipeline-parallel decode step.
 
     params: llama.init_params tree (layer stacks shard over the stage
@@ -213,7 +286,21 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
     schedule — mixed-gate serving belongs to the non-PP engine.
     allkv/fullkv fires additionally need ``prompt_len`` [B] (the
     protected segment is the RECORDED prompt, not P), batch-uniform
-    likewise.  Returns (logits [B, V], ck, cv, new_length)."""
+    likewise.
+
+    Production cache formats (VERDICT r4 #5 — PP exists for memory
+    reach, where the quantized cache matters most):
+    - int8 KV: pass ``k_scale``/``v_scale`` [L, B, Hkv, D] f32 (the
+      prefill-calibrated per-channel scales; ck/cv hold int8 codes).
+      Scales are slot-free, so they stage-shard like the weights and
+      fires gather codes unchanged.
+    - lazy eviction: pass ``alive`` [L, B, Hkv, cap] bool; fires
+      tombstone the stage-local mask (llama.decode_step's lazy path),
+      ``length`` then tracks the PHYSICAL fill pointer, and the host
+      schedules :func:`pp_compact_lazy` before slots run out.
+
+    Returns (logits [B, V], ck, cv, new_length), with ``alive`` inserted
+    before new_length when lazy: (logits, ck, cv, alive, new_length)."""
     try:
         from jax import shard_map
     except ImportError:
@@ -238,11 +325,17 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
     tied = lm_head is None
     if tied:
         lm_head = params["embed"]
-    def _assert_uniform(x, name):
+    def _assert_uniform(x, name, force_step: bool):
         # Appends and fire writes land at row 0's offsets (pipeline
         # contract) — a mixed batch would corrupt silently.  Only
-        # checkable when the array is concrete (the usual host-driven
-        # call); traced values are the caller's responsibility.
+        # checkable when the value is concrete; traced values are the
+        # caller's responsibility.  np.asarray on a DEVICE array is a
+        # blocking fetch (~30ms through the axon transport — ADVICE r4),
+        # so hot steps only validate values already on the host
+        # (ndarray/int/list); fire steps (rare) always validate.
+        if not force_step and not isinstance(
+                x, (np.ndarray, int, list, tuple)):
+            return
         try:
             v = np.asarray(x)
         except Exception:
@@ -251,7 +344,7 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
             raise ValueError(f"pipeline decode requires batch-uniform "
                              f"{name}; got {v}")
 
-    _assert_uniform(length, "length")
+    _assert_uniform(length, "length", comp is not None)
     if comp is not None:
         if force_n_keep is None:
             raise ValueError("force steps need force_n_keep")
@@ -260,23 +353,78 @@ def pp_decode_step(mesh: Mesh, spec: ModelSpec, params, token, vpos,
                              "(the protected segment is the recorded "
                              "prompt, not max_capacity_prompt)")
         if prompt_len is not None:
-            _assert_uniform(prompt_len, "prompt_len")
+            _assert_uniform(prompt_len, "prompt_len", True)
     else:
         force_n_keep = jnp.zeros((B,), jnp.int32)
     if prompt_len is None:
         prompt_len = jnp.zeros((B,), jnp.int32)
+    int8 = k_scale is not None
+    lazy = alive is not None
+    if int8 and v_scale is None:
+        raise ValueError("int8 cache needs both k_scale and v_scale")
+    # Unused optionals ride along as replicated [1] dummies (static
+    # ``int8``/``lazy`` flags keep the body from ever reading them);
+    # shard_map specs must structurally match the operands.
+    dummy = jnp.zeros((1,), jnp.float32)
+    ks_in = k_scale if int8 else dummy
+    vs_in = v_scale if int8 else dummy
+    al_in = alive if lazy else dummy
     fn = partial(_pp_step_local, spec, S, n_micro, softmax_f32, tied,
-                 comp, caps)
+                 comp, caps, int8, lazy)
     lspec = {name: P(STAGE_AXIS) for name in params["layers"]}
+    opt = lambda used: P(STAGE_AXIS) if used else P()
     kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(), P(), lspec, P(), P(), P(STAGE_AXIS), P(STAGE_AXIS),
-                  P(), P(), P()),
-        out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P()))
+                  P(), P(), P(), opt(int8), opt(int8), opt(lazy)),
+        out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), opt(lazy), P()))
     try:
         sharded = shard_map(fn, check_vma=False, **kwargs)
     except TypeError:
         sharded = shard_map(fn, check_rep=False, **kwargs)
-    return sharded(params["embed"], params["final_norm"], lm_head,
-                   params["layers"], token, vpos, ck, cv, length,
-                   force_n_keep, prompt_len)
+    logits, ck, cv, al_out, new_len = sharded(
+        params["embed"], params["final_norm"], lm_head,
+        params["layers"], token, vpos, ck, cv, length,
+        force_n_keep, prompt_len, ks_in, vs_in, al_in)
+    if lazy:
+        return logits, ck, cv, al_out, new_len
+    return logits, ck, cv, new_len
+
+
+def pp_compact_lazy(mesh: Mesh, ck, cv, alive, length, gap: int):
+    """Reclaim tombstoned slots on every stage (the amortized pass the
+    host schedules when the physical fill pointer nears capacity —
+    mirrors cache.compact_lazy, stage-locally; no collectives: the
+    permutation never crosses layers).
+
+    ck/cv/alive stage-sharded as in :func:`pp_decode_step`; length [B]
+    is the PHYSICAL fill pointer (layer/batch-uniform by the pipeline
+    contract).  Returns (ck, cv, alive, new_length [B])."""
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from scope_tpu.cache import KVCache, compact_gather, compact_write
+
+    def body(ckl, cvl, al, ln):
+        L_loc, B = ckl.shape[0], ckl.shape[1]
+        c = KVCache(k=ckl, v=cvl,
+                    length=jnp.broadcast_to(ln[None], (L_loc, B)),
+                    pvalid=jnp.zeros((L_loc, B, ckl.shape[2]),
+                                     jnp.int32),
+                    alive=al)
+        c2 = compact_write(c, *compact_gather(c, gap), gap=gap)
+        # Fires are batch/layer-uniform, so every layer (and stage)
+        # lands on the same live count — layer 0 is authoritative.
+        return c2.k, c2.v, c2.alive, c2.length[0]
+
+    kwargs = dict(mesh=mesh,
+                  in_specs=(P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
+                            P()),
+                  out_specs=(P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
+                             P()))
+    try:
+        sharded = shard_map(body, check_vma=False, **kwargs)
+    except TypeError:
+        sharded = shard_map(body, check_rep=False, **kwargs)
+    return sharded(ck, cv, alive, length)

@@ -192,3 +192,122 @@ def test_pp_allkv_fire_uses_recorded_prompt_len():
     assert fired, "allkv fixed never fired in the window"
     np.testing.assert_array_equal(np.stack(ref_seq), np.stack(pp_seq))
     assert int(length[0]) == sched_pp.length == sched_ref.length
+
+
+def _drive_pair(comp, ecfg, steps=16, seed=3, plen=100, batch=4,
+                lazy=False):
+    """Single-device host-scheduled decode vs PP (2 stages), same host
+    mirror; returns (ref_seq, pp_seq, ref_len, pp_len, fired)."""
+    from functools import partial
+
+    from scope_tpu.engine.host_loop import HostScheduledDecoder
+    from scope_tpu.models.llama import derive_statics
+
+    params = llama.init_params(SPEC, jax.random.key(seed), jnp.float32)
+    rng = np.random.default_rng(seed)
+    toks = jnp.asarray(rng.integers(0, 512, (batch, 128)), jnp.int32)
+    tl = jnp.full((batch,), plen, jnp.int32)
+    logits0, cache, state = jax.jit(partial(llama.prefill, SPEC, comp,
+                                            ecfg))(params, toks, tl)
+    tok0 = jnp.argmax(logits0, -1).astype(jnp.int32)
+    # The single-device loop DONATES the cache pytree (host_loop jits);
+    # copy everything the PP side needs before the first ref step.
+    ck0, cv0 = np.asarray(cache.k), np.asarray(cache.v)
+    ks = jnp.asarray(np.asarray(cache.k_scale))
+    vs = jnp.asarray(np.asarray(cache.v_scale))
+    al0 = np.asarray(cache.alive) if cache.alive is not None else None
+
+    dec = HostScheduledDecoder(SPEC, comp, ecfg)
+    caps = derive_statics(SPEC, comp, ecfg).caps
+
+    sched_ref = dec.new_scheduler(plen)
+    ref_tok, ref_cache, ref_state = tok0, cache, state
+    ref_seq = []
+    for s in range(steps):
+        logits, ref_cache, ref_state = dec.step(
+            sched_ref, params, ref_tok, tl + s, ref_cache, ref_state)
+        ref_tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        ref_seq.append(np.asarray(ref_tok))
+
+    mesh = make_pp_mesh(2, jax.devices()[:2])
+    sched_pp = dec.new_scheduler(plen)
+    ck, cv = jnp.asarray(ck0), jnp.asarray(cv0)
+    alive = jnp.asarray(al0) if lazy else None
+    length = jnp.full((batch,), sched_pp.length, jnp.int32)
+    pp_tok, pp_seq, fired, compacted = tok0, [], False, 0
+    for s in range(steps):
+        if lazy and sched_pp.needs_compact(headroom=1):
+            # Mirror dec.step's trigger: compaction only runs on a FULL
+            # buffer (the over-count of still-True tail slots is bounded
+            # by the headroom — cache.compact_gather's contract).
+            from scope_tpu.parallel.pipeline import pp_compact_lazy
+            ck, cv, alive, length = pp_compact_lazy(
+                mesh, ck, cv, alive, length,
+                gap=comp.max_capacity_prompt)
+            sched_pp.compacted()
+            compacted += 1
+        plan = sched_pp.plan_step()
+        kw = dict(n_micro=2, k_scale=ks, v_scale=vs)
+        if lazy:
+            kw["alive"] = alive
+        if plan.fire:
+            fired = True
+            kw.update(comp=comp, caps=caps,
+                      force_n_keep=jnp.full((batch,), plan.n_keep,
+                                            jnp.int32))
+        out = pp_decode_step(mesh, SPEC, params, pp_tok, tl + s, ck, cv,
+                             length, **kw)
+        if lazy:
+            logits, ck, cv, alive, length = out
+        else:
+            logits, ck, cv, length = out
+        pp_tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        pp_seq.append(np.asarray(pp_tok))
+    return (ref_seq, pp_seq, sched_ref, sched_pp, fired, compacted,
+            (mesh, params, ck, cv, alive, length, pp_tok, tl, ks, vs))
+
+
+def test_pp_int8_fire_matches_single_device():
+    """PP at the production cache format (VERDICT r4 #5): int8 KV codes
+    + per-channel scales through a jump-wave fire, token-identical to
+    the single-device host-scheduled int8 path."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    comp = CompressionConfig(method="h2o", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=16,
+                             decoding_recent_size=8, delta=2,
+                             evict_per_qhead=False)
+    ecfg = ECFG.replace(kv_dtype="int8", uniform_lengths=True)
+    ref_seq, pp_seq, sref, spp, fired, _, _ = _drive_pair(comp, ecfg)
+    assert fired, "window never crossed a jump wave"
+    np.testing.assert_array_equal(np.stack(ref_seq), np.stack(pp_seq))
+    assert sref.length == spp.length
+
+
+def test_pp_lazy_int8_fire_and_compact_match_single_device():
+    """PP lazy eviction (tombstone fires + pp_compact_lazy) on an int8
+    cache: token-identical to the single-device lazy path through fire
+    waves AND through the full-buffer compaction (both sides compact on
+    the same host-mirrored trigger)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual devices")
+    comp = CompressionConfig(method="h2o", decoding_metric="jump",
+                             max_capacity_prompt=64, window_size=8,
+                             decoding_window_size=16,
+                             decoding_recent_size=8, delta=2,
+                             evict_per_qhead=False)
+    # Tiny lazy_slack => capacity 128; phys crosses it mid-run, so the
+    # compaction path is actually exercised (compact only runs on a
+    # full buffer — the tail over-count is bounded by headroom).
+    ecfg = ECFG.replace(kv_dtype="int8", uniform_lengths=True,
+                        lazy_evict=True, lazy_slack=8)
+    (ref_seq, pp_seq, sref, spp, fired, compacted,
+     pp_state) = _drive_pair(comp, ecfg, steps=70, lazy=True)
+    assert fired, "window never crossed a jump wave"
+    assert compacted >= 1, "window never crossed a compaction"
+    np.testing.assert_array_equal(np.stack(ref_seq), np.stack(pp_seq))
+    assert sref.length == spp.length          # live lengths agree
+    assert sref.phys == spp.phys
+    length = pp_state[5]
+    assert int(length[0]) == spp.phys
