@@ -72,6 +72,56 @@ def build_page_metadata(comp: CompressionConfig, cache: KVCache,
     return cache.replace(page_min=page_min, page_max=page_max)
 
 
+def update_decode_page_metadata(comp: CompressionConfig, ck_all,
+                                pm_all, pM_all, len_all, l: int,
+                                uniform_rows: bool = True):
+    """Fold the just-appended token (slot length-1 of layer ``l``) into
+    its page's min/max metadata — the incremental counterpart of
+    :func:`build_page_metadata` for the DECODE region
+    (quest_decode_pages > 0).
+
+    Pages are absolute over the capacity, so the page containing the
+    prompt/decode boundary accumulates both prefill and decode keys;
+    that page is the force-included last prefill page, so its prefill
+    selection never depends on the polluted score, and the decode-side
+    token-validity mask keeps the two segments disjoint at attention
+    time.  int4 caches (uint8 storage) fold UNPACKED codes — metadata
+    holds full-head_dim codes (positive per-channel scales make code
+    order == value order; note the empty-page max init is the uint8
+    wrap of ``-big`` as in build_page_metadata, a ≤1-code overestimate
+    for all-zero-code channels — selection heuristics only).
+
+    ck_all: [L, B, Hc, cap, Ds]; pm_all/pM_all: [L, B, Hc, NP, D];
+    len_all: [L, B] INCLUDING the appended token.  Returns (pm, pM)."""
+    chunk = comp.chunk_size
+    L, B, Hc, cap, Ds = ck_all.shape
+    D = pm_all.shape[-1]
+    int4 = ck_all.dtype == jnp.uint8
+
+    def fold(pm, pM, slot, b0, nb):
+        k_new = lax.dynamic_slice(ck_all, (l, b0, 0, slot, 0),
+                                  (1, nb, Hc, 1, Ds))[0]     # [nb,Hc,1,Ds]
+        if int4:
+            from scope_tpu.ops.quant import unpack4
+            k_new = unpack4(k_new, jnp.uint8)                # [nb,Hc,1,D]
+        pg = slot // chunk
+        cur_min = lax.dynamic_slice(pm, (l, b0, 0, pg, 0),
+                                    (1, nb, Hc, 1, D))
+        cur_max = lax.dynamic_slice(pM, (l, b0, 0, pg, 0),
+                                    (1, nb, Hc, 1, D))
+        pm = lax.dynamic_update_slice(
+            pm, jnp.minimum(cur_min, k_new[None]), (l, b0, 0, pg, 0))
+        pM = lax.dynamic_update_slice(
+            pM, jnp.maximum(cur_max, k_new[None]), (l, b0, 0, pg, 0))
+        return pm, pM
+
+    if uniform_rows:
+        return fold(pm_all, pM_all, len_all[l][0] - 1, 0, B)
+    for b in range(B):
+        pm_all, pM_all = fold(pm_all, pM_all, len_all[l][b] - 1, b, 1)
+    return pm_all, pM_all
+
+
 def _page_scores(q: jnp.ndarray, page_min: jnp.ndarray,
                  page_max: jnp.ndarray) -> jnp.ndarray:
     """q: [B, Hc, G, D]; page_min/max: [B, Hc, NP, D] -> [B, Hc, NP]
@@ -233,6 +283,38 @@ def quest_decode_layer(
     dec_valid = dec_idx < length[:, None, None]
     dec_idx = jnp.broadcast_to(dec_idx, (B, Hc, dec_cap))
     dec_valid = jnp.broadcast_to(dec_valid, (B, Hc, dec_cap))
+
+    if comp.quest_decode_pages > 0:
+        # DECODE-REGION paging (beyond-reference; config.py knob): score
+        # the region's pages with the same sign-trick metadata (folded
+        # incrementally at append time — update_decode_page_metadata)
+        # and attend only the top (SELD-1) pages + the force-included
+        # last (partial) page, instead of the dense dec_cap-wide slice.
+        # Only reachable with decoding_metric="none" (config validation);
+        # the boundary page competes with a prefill-polluted score but
+        # the token-validity mask keeps segments disjoint.
+        SELD = comp.quest_decode_pages
+        dpage0 = prompt_len // chunk                              # [B]
+        last_dp = jnp.maximum((length - 1) // chunk, dpage0)      # [B]
+        in_region = ((p_idx[None, None, :] >= dpage0[:, None, None])
+                     & (p_idx[None, None, :] < last_dp[:, None, None]))
+        dmask = jnp.where(in_region, page_sc, NEG_INF)
+        if SELD > 1:
+            dsc, dsel = lax.top_k(dmask, SELD - 1)      # [B,Hc,SELD-1]
+        else:
+            dsc = jnp.zeros((B, Hc, 0), jnp.float32)
+            dsel = jnp.zeros((B, Hc, 0), jnp.int32)
+        pvalid_d = jnp.concatenate(
+            [dsc > NEG_INF / 2, jnp.ones((B, Hc, 1), bool)], axis=-1)
+        dsel_pages = jnp.concatenate(
+            [dsel, jnp.broadcast_to(last_dp[:, None, None], (B, Hc, 1))],
+            axis=-1)                                        # [B,Hc,SELD]
+        dtok = dsel_pages[..., None] * chunk + off          # [B,Hc,SELD,ch]
+        dec_idx = dtok.reshape(B, Hc, SELD * chunk)
+        dec_valid = (pvalid_d[..., None]
+                     & (dtok >= prompt_len[:, None, None, None])
+                     & (dtok < length[:, None, None, None])
+                     ).reshape(B, Hc, SELD * chunk)
 
     all_idx = jnp.clip(jnp.concatenate([tok_idx, dec_idx], axis=-1),
                        0, cap_r - 1)

@@ -100,6 +100,21 @@ class CompressionConfig:
     # Quest page (chunk) size and skipped dense layers (kv_utils.py:1277).
     chunk_size: int = 16
     quest_skip_layers: int = 2
+    # Quest DECODE-REGION paging (beyond-reference, ROADMAP r4 #4 /
+    # VERDICT r4 Next #7): with decoding_metric="none" the decode region
+    # grows unboundedly and quest attends it densely (reference
+    # semantics, kv_utils.py:1389-1474) — late-generation attention cost
+    # approaches full-cache.  Setting this > 0 pages the decode region
+    # with the SAME min/max metadata + sign-trick scores as the prefill
+    # region (metadata updated incrementally as tokens append): each
+    # step attends the top (quest_decode_pages - 1) decode pages plus
+    # the force-included last (partial) page.  Only legal with
+    # decoding_metric="none": the SCOPE schedulers need eviction scores
+    # over the WHOLE region, and their bounded region (~W) gains nothing
+    # from paging.  Accuracy-gated by tests/test_quest_paged_decode.py
+    # (greedy agreement vs the dense region).  0 = dense (reference
+    # behavior).
+    quest_decode_pages: int = 0
     # Headwise coverage budgeting (headwise_attention.py:17-101).
     headwise_max_budget: int = 2048
     headwise_min_budget: int = 128
@@ -129,6 +144,12 @@ class CompressionConfig:
         if self.decoding_metric != "none":
             if not self.decoding_window_size - self.decoding_recent_size > 0:
                 raise ValueError("decoding_window_size must exceed decoding_recent_size")
+        if self.quest_decode_pages:
+            if self.method != "quest" or self.decoding_metric != "none":
+                raise ValueError(
+                    "quest_decode_pages requires method='quest' with "
+                    "decoding_metric='none' (the schedulers score the "
+                    "whole region; their bounded region gains nothing)")
 
     def replace(self, **kw) -> "CompressionConfig":
         return dataclasses.replace(self, **kw)

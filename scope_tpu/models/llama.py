@@ -356,6 +356,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
     ck_all, cv_all = cache.k, cache.v
     len_all, pv_all = cache.length, cache.pvalid
     alive_all = cache.alive
+    pm_all, pM_all = cache.page_min, cache.page_max
     b_idx = jnp.arange(B)[:, None]
     h_idx = jnp.arange(Hc)[None, :]
 
@@ -490,7 +491,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                       else force_n_keep)
             out, ck_all, cv_all, len_all, state = quest_decode_stacked(
                 comp, st.caps, state, q, ck_all, cv_all, len_all, l,
-                cache.prompt_len, cache.page_min, cache.page_max, L,
+                cache.prompt_len, pm_all, pM_all, L,
                 dec_cap=min(quest_dec_cap or ecfg.max_new_tokens + 1,
                             ecfg.max_new_tokens + 1),
                 softmax_f32=ecfg.softmax_f32,
@@ -498,6 +499,14 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 compress_mode=compress_mode, force_row_gate=fg,
                 force_n_keep=fk,
                 tot_cap=attn_cap or 0)
+            if comp.quest_decode_pages > 0:
+                # Paged decode region: fold this step's appended token
+                # into its page's min/max metadata (quest.py).
+                from scope_tpu.compression.quest import (
+                    update_decode_page_metadata)
+                pm_all, pM_all = update_decode_page_metadata(
+                    comp, ck_all, pm_all, pM_all, len_all, l,
+                    uniform_rows=(B == 1 or ecfg.uniform_lengths))
             if int8_kv or int4_kv:
                 # Quest computed attention on quantized values with the K
                 # scale already folded into q; fold the V scale (and
@@ -671,7 +680,8 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
         len_all = len_all + 1
 
     cache = cache.replace(k=ck_all, v=cv_all, length=len_all, pvalid=pv_all,
-                          alive=alive_all)
+                          alive=alive_all, page_min=pm_all,
+                          page_max=pM_all)
     x = rms_norm(x, params["final_norm"], spec.rms_norm_eps)
     logits = _lm_logits(spec, params, x[:, 0])
     return logits, cache, state
