@@ -82,6 +82,7 @@ def build_compression(args, output_len: int, dataset: str
         decoding_window_size=args.decoding_window_size,
         decoding_recent_size=args.decoding_recent_size,
         delta=delta, chunk_size=args.chunk_size,
+        quest_decode_pages=args.quest_decode_pages,
         evict_per_qhead=not args.evict_per_kv_head,
         # Headwise: the reference HARDCODES prefill_max_budget=2048 /
         # prefill_min_budget=128 independent of P (headwise_attention.py
@@ -187,6 +188,10 @@ def parse_args(argv=None):
     p.add_argument("--K", type=int, default=30)
     p.add_argument("--shot_number", type=int, default=8)
     p.add_argument("--chunk_size", type=int, default=16)
+    p.add_argument("--quest_decode_pages", type=int, default=0,
+                   help="page quest's decode region with N pages "
+                        "(beyond-reference; quest + decoding_metric "
+                        "None only — see config.py)")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--weight_dtype", type=str, default="",
                    choices=["", "int8"],

@@ -497,3 +497,32 @@ def test_serving_request_metrics():
     # the first admissions'.
     assert eng.request_metrics[ids[-1]]["queue_s"] >= \
         eng.request_metrics[ids[0]]["queue_s"]
+
+
+def test_serving_quest_paged_decode_matches_single_stream():
+    """quest_decode_pages through serving: non-uniform prompt lengths
+    exercise the per-row incremental metadata fold; slot reuse replaces
+    the whole row's page metadata (fresh ±big decode pages).  Ample page
+    budget (region never overflows it at 16 new tokens) => tokens match
+    the dedicated single-stream device path exactly."""
+    comp = CompressionConfig(method="quest", decoding_metric="none",
+                             max_capacity_prompt=64, window_size=8,
+                             chunk_size=8, quest_skip_layers=1,
+                             quest_decode_pages=4)
+    params = llama.init_params(TINY_LLAMA, jax.random.key(0), jnp.float32)
+    eng = ServingEngine(TINY_LLAMA, comp, ECFG, params, max_slots=2)
+    rng = np.random.default_rng(29)
+    prompts = [rng.integers(1, 512, n).astype(np.int32)
+               for n in (100, 90, 110)]
+    ids = [eng.submit(p, 16) for p in prompts]
+    results = eng.run()
+
+    from scope_tpu.engine.generate import generate_scan
+    for p, rid in zip(prompts, ids):
+        toks = np.zeros((1, 128), np.int32)
+        toks[0, :len(p)] = p
+        gen, _ = generate_scan(TINY_LLAMA, comp, ECFG, params,
+                               jnp.asarray(toks),
+                               jnp.array([len(p)], jnp.int32), 16, -1)
+        np.testing.assert_array_equal(np.asarray(gen[0]),
+                                      np.array(results[rid]))
