@@ -255,12 +255,14 @@ class EngineConfig:
 
     def resolve_attn_backend(self, seq_len: int = 0) -> str:
         """Prefill attention backend; ``seq_len`` is the padded prompt
-        length when known.  Measured on v5e (1B, h2o scoring): XLA's
-        chunked path wins short prompts (2048: 61 vs 83 ms; 4096: 242
-        vs 274) but collapses past it (8192: 36.9 s vs the pallas
-        kernel's 0.77 s — the full-S scoring softmax per block stops
-        fitting), so "auto" picks XLA up to 4096 and the fused flash
-        kernel beyond."""
+        length when known.  Measured on v5e (1B, h2o scoring), round-5
+        kernel (block-class split + (1024, 1024) blocks): XLA's chunked
+        path only wins the shortest prompts (2048: 62 vs 72 ms) — the
+        pallas flash kernel wins from 4096 up (4096: 202 vs 247;
+        8192: 485 ms vs XLA's 36.9 s collapse — the full-S scoring
+        softmax per block stops fitting), so "auto" picks XLA up to
+        2048 and the fused flash kernel beyond.  (r4 history: the
+        pre-split kernel crossed at 4096 — 242 vs 274.)"""
         if self.attn_backend != "auto":
             return self.attn_backend
         import jax
@@ -270,7 +272,7 @@ class EngineConfig:
             platform = "cpu"
         if platform != "tpu":
             return "xla"
-        return "xla" if 0 < seq_len <= 4096 else "pallas"
+        return "xla" if 0 < seq_len <= 2048 else "pallas"
 
     def cache_capacity(self, comp: CompressionConfig) -> int:
         """Physical slot capacity S_max of the per-layer KV buffer.
