@@ -489,6 +489,56 @@ def run_serving_engine(spec, params, batch, *, prompt_len=2048,
     return tps
 
 
+def run_quest_paged_leg(spec, params, region=6000, batch=4, steps=24):
+    """Quest decode-region paging speed delta (VERDICT r4 #7): dense vs
+    quest_decode_pages=16 at a simulated late-generation region.
+    Returns (dense_ms, paged_ms)."""
+    import jax
+    import jax.numpy as jnp
+    from scope_tpu.config import CompressionConfig, EngineConfig
+    from scope_tpu.engine.host_loop import HostScheduledDecoder
+
+    out = []
+    for pages in (0, 16):
+        comp = CompressionConfig(method="quest", decoding_metric="none",
+                                 max_capacity_prompt=2048, window_size=8,
+                                 chunk_size=16, quest_decode_pages=pages,
+                                 evict_per_qhead=False)
+        ecfg = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,
+                            dtype="bfloat16", uniform_lengths=True)
+        tok, tl, cache, state = build_state(spec, comp, ecfg, params,
+                                            2048, batch=batch)
+        cache = cache.replace(length=jnp.full_like(cache.length,
+                                                   2048 + region))
+        dec = HostScheduledDecoder(spec, comp, ecfg)
+        sched = dec.new_scheduler(2048)
+        sched.lengths = [2048 + region] * spec.num_layers
+        s = 0
+        while s < 6:
+            toks, cache, state = dec.step_auto(sched, params, tok,
+                                               tl + s, cache, state)
+            tok = toks[:, -1]
+            s += toks.shape[1]
+        _ = jax.device_get(tok)
+        rates = []
+        for _rep in range(2):
+            n = 0
+            t0 = time.perf_counter()
+            while n < steps:
+                toks, cache, state = dec.step_auto(sched, params, tok,
+                                                   tl + s, cache, state)
+                tok = toks[:, -1]
+                k = toks.shape[1]
+                s += k
+                n += k
+            _ = jax.device_get(tok)
+            rates.append((time.perf_counter() - t0) / n * 1e3)
+        out.append(max(rates))
+    log(f"[quest-paged b{batch} region={region}] dense {out[0]:.2f} "
+        f"ms/step vs paged(16) {out[1]:.2f} -> {out[0]/out[1]:.2f}x")
+    return out[0], out[1]
+
+
 def run_8b_leg(lazy=256, params=None):
     """North-star shapes (BASELINE.json: decode tok/s/chip at 8B under
     20% KV budget): Llama-3-8B weight-int8 on one v5e chip.  Compression
@@ -696,6 +746,18 @@ def main():
     except Exception as e:
         log(f"quant proxy failed: {type(e).__name__}: {e}")
         log(traceback.format_exc(limit=3))
+    # Quest decode-region paging speed delta (VERDICT r4 #7; accuracy
+    # gated by test_quest_paged_decode).  NOTE: `params` here are the w8
+    # int8 weights — throughput-only, weight-format-independent claim.
+    quest_paged = None
+    try:
+        d_ms, p_ms = run_quest_paged_leg(spec, params)
+        quest_paged = {"dense_ms": round(d_ms, 2),
+                       "paged_ms": round(p_ms, 2),
+                       "speedup": round(d_ms / p_ms, 2)}
+    except Exception as e:
+        log(f"quest paged leg failed: {type(e).__name__}: {e}")
+        log(traceback.format_exc(limit=3))
     # North-star shapes: Llama-3-8B (BASELINE.json) on the one chip.
     del params
     b8_scope = b8_full = b8_serving = None
@@ -755,6 +817,7 @@ def main():
         "prefill_8192_ms": prefill_ms.get(8192),
         "prefill_16384_ms": prefill_ms.get(16384),
         "quant_proxy": quant_proxy,
+        "quest_paged_region6k": quest_paged,
         "serving_1b_tok_s": serving_1b and round(serving_1b, 2),
         "b8_scope_tok_s": b8_scope and round(b8_scope, 2),
         "b8_scope_batch": sb,
