@@ -462,10 +462,15 @@ def run_serving_engine(spec, params, batch, *, prompt_len=2048,
     log(f"  serving warm (admissions + {warm_target} steps): "
         f"{time.perf_counter() - t0:.1f}s")
 
-    # Auto window: fire-inclusive, >= 2 full jump periods.  An explicit
-    # timed_steps (smoke tests) is honored as-is.
+    # Auto window: fire-inclusive, >= 2 full jump periods, and under
+    # lazy eviction wide enough to contain >= 1 full COMPACTION period
+    # deterministically — a 128-step window catches compact dispatches
+    # stochastically, which is most of the session-to-session serving
+    # variance (r4 driver 6549 vs builder 7068 vs r5 probe 7205).  An
+    # explicit timed_steps (smoke tests) is honored as-is.
     steps = (timed_steps if timed_steps is not None
-             else max(128, 2 * comp.delta + 2 * chunk))
+             else max(512 if lazy else 128,
+                      2 * comp.delta + 2 * chunk))
     rates = []
     for _rep in range(2):
         n0 = sum(s.dispatched for s in eng.slots)
