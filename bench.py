@@ -512,9 +512,8 @@ def run_quest_paged_leg(spec, params, region=6000, batch=4, steps=24):
         ecfg = EngineConfig(max_prompt_len=2048, max_new_tokens=8192,
                             dtype="bfloat16", uniform_lengths=True)
         tok, tl, cache, state = build_state(spec, comp, ecfg, params,
-                                            2048, batch=batch)
-        cache = cache.replace(length=jnp.full_like(cache.length,
-                                                   2048 + region))
+                                            2048, batch=batch,
+                                            fake_len=2048 + region)
         dec = HostScheduledDecoder(spec, comp, ecfg)
         sched = dec.new_scheduler(2048)
         sched.lengths = [2048 + region] * spec.num_layers
@@ -625,11 +624,11 @@ def main():
     log(f"[batch=4] same-batch speedup: {tps_scope4 / tps_full4:.2f}x")
     # TTFT prefill ladder through the length-aware auto backend: 2048
     # resolves to XLA's chunked path, 8192/16384 to the pallas flash
-    # kernel — so the PRODUCTION long-prompt path (pallas past 4096,
-    # config.py resolve_attn_backend) is compiled natively and
-    # regression-guarded on real hardware every driver round
-    # (VERDICT r4 Next #1/#6; the 8k split is 0.77s pallas vs 36.9s
-    # XLA — a silent fallback would be unmissable here).
+    # kernel — so the PRODUCTION long-prompt path (pallas past 2048
+    # after the r5 kernel work, config.py resolve_attn_backend) is
+    # compiled natively and regression-guarded on real hardware every
+    # driver round (VERDICT r4 Next #1/#6; the 8k split is pallas
+    # 0.49s vs 36.9s XLA — a silent fallback would be unmissable).
     from scope_tpu.config import CompressionConfig, EngineConfig
     prefill_ms = {}
     for plen in (2048, 8192, 16384):

@@ -367,6 +367,39 @@ def apply_block_rewrite(ck_all, cv_all, l: int, src_blk, pseg,
     return ck_all, cv_all
 
 
+def lazy_tombstone_fire(comp, caps, probs, alive_l, length, pseg, n_keep,
+                        row_gate):
+    """LAZY fire on one layer's alive mask: kill the scored region
+    [pseg, length - r), scatter the top-n_keep back alive — no gather,
+    no big-buffer write-back (eviction is permanent, so tombstoning is
+    semantically identical to the rewrite; the row-DMA gather costs
+    ~675ms/fire at 1B b192, the mask update ~25ms).
+
+    alive_l: [B, H, cap] bool; probs: [B, H, cap] f32 (this step's
+    attention probabilities); length [B] INCLUDES the appended token;
+    pseg/n_keep [B]; row_gate [B] bool (ungated rows keep their mask).
+    Returns the new alive mask.  Shared by the single-device force path
+    (models/llama.py) and the pipeline-parallel one
+    (parallel/pipeline.py) — the parity contract between them depends
+    on this being ONE implementation."""
+    B, H, cap = alive_l.shape
+    rr = comp.decoding_recent_size
+    d_sl = jnp.arange(cap, dtype=jnp.int32)
+    region = ((d_sl[None, None, :] >= pseg[:, None, None])
+              & (d_sl[None, None, :] < (length - rr)[:, None, None])
+              & row_gate[:, None, None])
+    sc = jnp.where(region & alive_l, probs, -jnp.inf)
+    kc = min(caps.keep_cap, cap)
+    topk_idx = lax.top_k(sc, kc)[1]
+    new_al = alive_l & ~region
+    jpos = jnp.arange(kc, dtype=jnp.int32)[None, None, :]
+    live = (jpos < n_keep[:, None, None]) & row_gate[:, None, None]
+    idx = jnp.where(live, topk_idx, cap)
+    bb = jnp.broadcast_to(jnp.arange(B)[:, None, None], idx.shape)
+    hh = jnp.broadcast_to(jnp.arange(H)[None, :, None], idx.shape)
+    return new_al.at[bb, hh, idx].set(True, mode="drop")
+
+
 def compress_layer(comp, caps, probs, ck, cv, length, row_gate, n_keep,
                    pseg, positional):
     """The gather rewrite for one layer (call under lax.cond).

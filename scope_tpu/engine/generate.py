@@ -59,7 +59,8 @@ def sample_logits(logits: jnp.ndarray, key=None, temperature: float = 0.0,
 def sample_logits_rowwise(logits: jnp.ndarray, seeds: jnp.ndarray,
                           counters: jnp.ndarray, temperature: jnp.ndarray,
                           top_k: jnp.ndarray, top_p: jnp.ndarray,
-                          max_top_k: int = 64) -> jnp.ndarray:
+                          max_top_k: int = 64,
+                          any_unrestricted: bool = True) -> jnp.ndarray:
     """Per-ROW sampling params for continuous batching: each slot carries
     its own (temperature, top_k, top_p, seed); rows with temperature<=0
     decode greedily.
@@ -67,7 +68,11 @@ def sample_logits_rowwise(logits: jnp.ndarray, seeds: jnp.ndarray,
     Non-greedy rows sample among the row's ``max_top_k`` highest-logit
     candidates (a static bound so the per-row dynamic top_k/top_p masks
     stay shape-stable under jit); top_k values above ``max_top_k`` are
-    clamped.  logits: [B, V] -> [B] int32.
+    clamped.  ``any_unrestricted`` (static): compile the exact
+    full-vocabulary path for rows with top_k=0 & top_p>=1 — the host
+    knows per-slot params, so callers whose rows all restrict pass False
+    and skip the [B, V] categorical entirely.  logits: [B, V] -> [B]
+    int32.
     """
     B = logits.shape[0]
     max_top_k = min(max_top_k, logits.shape[-1])
@@ -99,10 +104,12 @@ def sample_logits_rowwise(logits: jnp.ndarray, seeds: jnp.ndarray,
     # "top_p=1.0" means the full vocab, matching every other serving
     # stack (the top_k path above only exists because per-row top_k/top_p
     # masks need a static candidate width).
-    full_tok = jax.vmap(draw)(seeds, counters, lg / t)
-    unrestricted = (top_k <= 0) & (top_p >= 1.0)
-    sampled = jnp.where(unrestricted, full_tok.astype(jnp.int32),
-                        sampled.astype(jnp.int32))
+    sampled = sampled.astype(jnp.int32)
+    if any_unrestricted:
+        full_tok = jax.vmap(draw)(seeds, counters, lg / t)
+        unrestricted = (top_k <= 0) & (top_p >= 1.0)
+        sampled = jnp.where(unrestricted, full_tok.astype(jnp.int32),
+                            sampled)
     return jnp.where(temperature > 0.0, sampled,
                      greedy_tok)
 

@@ -155,6 +155,13 @@ class HostScheduledDecoder:
     def _dec_bucket_for(self, needed: int) -> Optional[int]:
         if not self._quest:
             return None
+        if self.comp.quest_decode_pages > 0:
+            # Paged decode region: attention reads SELD*chunk selected
+            # tokens regardless of region length, and the dec_cap-wide
+            # dense slice is dead code in the program — pin ONE bucket
+            # so region growth never forces a multi-minute recompile at
+            # each bucket crossing.
+            return self._dec_buckets[0]
         for b in self._dec_buckets:
             if needed <= b:
                 return b

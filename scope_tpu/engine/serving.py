@@ -184,10 +184,12 @@ class ServingEngine:
         # matching the reference's do_sample=False).  Each slot carries its
         # own (temperature, top_k, top_p, seed); sampling is deterministic
         # per (seed, position) so slot placement doesn't change tokens.
-        from scope_tpu.engine.generate import sample_logits_rowwise
         self.max_top_k = max_top_k
-        self._sampler = jax.jit(partial(sample_logits_rowwise,
-                                        max_top_k=max_top_k))
+        # Jitted samplers keyed by (max_top_k, any_unrestricted): the
+        # full-vocab categorical for top_k=0/top_p=1 rows is only
+        # compiled into the program when some active row actually asks
+        # for it (it costs a [B, V] draw per step otherwise).
+        self._samplers: Dict[Tuple[int, bool], object] = {}
         self._samp: Dict[int, Tuple[float, int, float, int]] = {}
         self._samp_t = np.zeros(max_slots, np.float32)
         self._samp_k = np.zeros(max_slots, np.int32)
@@ -200,24 +202,22 @@ class ServingEngine:
                top_p: float = 1.0, seed: int = 0) -> int:
         """Queue a request; returns its request id.
 
-        Sampling: temperature<=0 decodes greedily.  Non-greedy sampling
-        draws from the row's ``engine.max_top_k`` (default 64) highest-
-        logit candidates — a static bound that keeps the per-row
-        top_k/top_p masks shape-stable under jit — so top_k=0 / top_p=1.0
-        means "unrestricted within the top max_top_k", not the full
-        vocabulary.  A submit with top_k above the current bound GROWS
-        the bound (next power of two; the row-wise sampler re-jits once)
-        instead of silently truncating the tail.
+        Sampling: temperature<=0 decodes greedily.  top_k=0 AND
+        top_p=1.0 samples the FULL vocabulary exactly (shape-stable
+        categorical; compiled in only when some row asks for it).
+        Restricted rows draw from the ``engine.max_top_k`` (default 64)
+        highest-logit candidates — a static bound that keeps the per-row
+        top_k/top_p masks shape-stable under jit.  A submit with top_k
+        above the current bound GROWS the bound (next power of two; the
+        row-wise sampler re-jits once) instead of silently truncating
+        the tail.
         """
         if top_k > self.max_top_k:
             new_cap = 1 << (int(top_k) - 1).bit_length()
             logging.getLogger(__name__).info(
                 "growing sampler max_top_k %d -> %d for top_k=%d",
                 self.max_top_k, new_cap, top_k)
-            from scope_tpu.engine.generate import sample_logits_rowwise
             self.max_top_k = new_cap
-            self._sampler = jax.jit(partial(sample_logits_rowwise,
-                                            max_top_k=new_cap))
         rid = self.sched.submit(len(prompt_ids), max_new)
         if rid < 0:
             raise RuntimeError("scheduler queue full")
@@ -227,15 +227,32 @@ class ServingEngine:
             self._samp[rid] = (temperature, top_k, top_p, seed)
         return rid
 
+    def _get_sampler(self, any_unrestricted: bool):
+        key = (self.max_top_k, bool(any_unrestricted))
+        fn = self._samplers.get(key)
+        if fn is None:
+            from scope_tpu.engine.generate import sample_logits_rowwise
+            fn = jax.jit(partial(sample_logits_rowwise,
+                                 max_top_k=self.max_top_k,
+                                 any_unrestricted=bool(any_unrestricted)))
+            self._samplers[key] = fn
+        return fn
+
+    def _any_unrestricted_rows(self) -> bool:
+        return bool(np.any((self._samp_t > 0.0)
+                           & (self._samp_k <= 0)
+                           & (self._samp_p >= 1.0)))
+
     def _first_token(self, logits, rid, n_ids) -> int:
         t, k, p, seed = self._samp.get(rid, (0.0, 0, 1.0, 0))
         if t <= 0.0:
             return int(jax.device_get(jnp.argmax(logits, -1))[0])
-        tok = self._sampler(logits, jnp.array([seed], jnp.int32),
-                            jnp.array([n_ids], jnp.int32),
-                            jnp.array([t], jnp.float32),
-                            jnp.array([k], jnp.int32),
-                            jnp.array([p], jnp.float32))
+        sampler = self._get_sampler(k <= 0 and p >= 1.0)
+        tok = sampler(logits, jnp.array([seed], jnp.int32),
+                      jnp.array([n_ids], jnp.int32),
+                      jnp.array([t], jnp.float32),
+                      jnp.array([k], jnp.int32),
+                      jnp.array([p], jnp.float32))
         return int(jax.device_get(tok)[0])
 
     # ------------------------------------------------------------------
@@ -543,7 +560,8 @@ class ServingEngine:
                 logits, self.cache, self.state = self._decode(
                     self.params, tok, vpos, self.cache, self.state)
             if np.any(self._samp_t > 0.0):
-                toks_dev = self._sampler(
+                sampler = self._get_sampler(self._any_unrestricted_rows())
+                toks_dev = sampler(
                     logits, jnp.asarray(self._samp_seed), vpos + 1,
                     jnp.asarray(self._samp_t), jnp.asarray(self._samp_k),
                     jnp.asarray(self._samp_p))[:, None]

@@ -405,9 +405,7 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
             else:
                 k = quant.quantize(k, ks_l)
                 v = quant.quantize(v, vs_l)
-            q = (q.reshape(B, Hc, Hq // Hc, D)
-                 * ks_l[:, :, None, :].astype(q.dtype)
-                 ).reshape(B, Hq, 1, D)
+            q = quant.fold_q_scale(q, ks_l)
 
         length = len_all[l]
         if (comp.mistral_window_parity and spec.sliding_window
@@ -510,13 +508,9 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
             if int8_kv or int4_kv:
                 # Quest computed attention on quantized values with the K
                 # scale already folded into q; fold the V scale (and
-                # int4's V offset — probabilities sum to 1) into the
-                # output.
-                og = (out.reshape(B, Hc, Hq // Hc, D)
-                      * vs_l[:, :, None, :].astype(out.dtype))
-                if int4_kv:
-                    og = og + vo_l[:, :, None, :].astype(out.dtype)
-                out = og.reshape(B, Hq, 1, D)
+                # int4's V offset) into the output.
+                out = quant.fold_out_scale(out, vs_l,
+                                           vo_l if int4_kv else None)
         else:
             if use_ring:
                 out = _ring_decode_attention(
@@ -536,13 +530,10 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                     q, ck_v, cv_v, mask, G,
                     softmax_f32=ecfg.softmax_f32)
             if int8_kv or int4_kv:
-                # Per-channel V scale folds into the attention output;
-                # int4's V offset folds as one add (probs sum to 1).
-                og = (out.reshape(B, Hc, Hq // Hc, D)
-                      * vs_l[:, :, None, :].astype(out.dtype))
-                if int4_kv:
-                    og = og + vo_l[:, :, None, :].astype(out.dtype)
-                out = og.reshape(B, Hq, 1, D)
+                # Per-channel V scale (+ int4 V offset) folds into the
+                # attention output (quant.fold_out_scale).
+                out = quant.fold_out_scale(out, vs_l,
+                                           vo_l if int4_kv else None)
             if comp.decoding_metric != "none" and compress_mode == "force":
                 from scope_tpu.compression.schedulers import (block_map,
                                                               block_width,
@@ -559,33 +550,16 @@ def decode_step(spec: ModelSpec, comp: CompressionConfig, ecfg: EngineConfig,
                 nk = (force_n_keep[l] if force_n_keep.ndim == 2
                       else force_n_keep)
                 if alive_all is not None:
-                    # LAZY fire: tombstone instead of rewriting.  Kill
-                    # the scored region, scatter the top-k back alive —
-                    # no gather, no big-buffer write-back (the row-DMA
-                    # gather costs ~675ms/fire at b192; the mask update
-                    # ~25ms — scripts/probe_gather.py).  Physical length
-                    # is untouched; the host mirrors the live count and
-                    # schedules cache.compact_lazy before slots run out.
-                    rr = comp.decoding_recent_size
-                    al = alive_all[l][:, :, :cap_eff]
-                    d_sl = jnp.arange(cap_eff, dtype=jnp.int32)
-                    region = ((d_sl[None, None, :] >= pseg[:, None, None])
-                              & (d_sl[None, None, :]
-                                 < (length - rr)[:, None, None])
-                              & row_gate[:, None, None])
-                    sc = jnp.where(region & al, probs, -jnp.inf)
-                    kc = min(st.caps.keep_cap, cap_eff)
-                    topk_idx = lax.top_k(sc, kc)[1]
-                    new_al = al & ~region
-                    jpos = jnp.arange(kc, dtype=jnp.int32)[None, None, :]
-                    live = (jpos < nk[:, None, None]) \
-                        & row_gate[:, None, None]
-                    idx = jnp.where(live, topk_idx, cap_eff)
-                    bb = jnp.broadcast_to(jnp.arange(B)[:, None, None],
-                                          idx.shape)
-                    hh = jnp.broadcast_to(jnp.arange(Hc)[None, :, None],
-                                          idx.shape)
-                    new_al = new_al.at[bb, hh, idx].set(True, mode="drop")
+                    # LAZY fire: tombstone instead of rewriting (shared
+                    # helper — scripts/probe_gather.py for the why;
+                    # physical length is untouched, the host mirrors the
+                    # live count and schedules cache.compact_lazy).
+                    from scope_tpu.compression.schedulers import (
+                        lazy_tombstone_fire)
+                    new_al = lazy_tombstone_fire(
+                        comp, st.caps, probs,
+                        alive_all[l][:, :, :cap_eff], length, pseg, nk,
+                        row_gate)
                     alive_all = lax.dynamic_update_slice(
                         alive_all, new_al[None], (l, 0, 0, 0))
                     out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * D)

@@ -134,6 +134,33 @@ def dequantize4(packed: jnp.ndarray, scale: jnp.ndarray, off: jnp.ndarray,
     return (codes * s + o).astype(dtype)
 
 
+def fold_q_scale(q: jnp.ndarray, k_scale: jnp.ndarray) -> jnp.ndarray:
+    """Fold the per-channel K scale into q so attention reads quantized
+    K bytes with no per-slot dequant: q.k = sum_d (q_d * s_d) * kint_d.
+    q: [B, Hq, 1, D]; k_scale: [B, Hc, D] (Hc divides Hq).  Shared by
+    the single-device decode path (models/llama.py) and the pipeline-
+    parallel one."""
+    B, Hq, _, D = q.shape
+    Hc = k_scale.shape[1]
+    return (q.reshape(B, Hc, Hq // Hc, D)
+            * k_scale[:, :, None, :].astype(q.dtype)
+            ).reshape(B, Hq, 1, D)
+
+
+def fold_out_scale(out: jnp.ndarray, v_scale: jnp.ndarray,
+                   v_off=None) -> jnp.ndarray:
+    """Fold the per-channel V scale (and int4's V zero point — exact
+    because probabilities sum to 1) into the attention output.
+    out: [B, Hq, 1, D]; v_scale/v_off: [B, Hc, D]."""
+    B, Hq, _, D = out.shape
+    Hc = v_scale.shape[1]
+    og = (out.reshape(B, Hc, Hq // Hc, D)
+          * v_scale[:, :, None, :].astype(out.dtype))
+    if v_off is not None:
+        og = og + v_off[:, :, None, :].astype(out.dtype)
+    return og.reshape(B, Hq, 1, D)
+
+
 def to_compute(x: jnp.ndarray, cd) -> jnp.ndarray:
     """Cache values -> attention compute dtype.  bf16/f32 pass through,
     int8 converts (fuses into the matmul operand load), packed-int4

@@ -115,11 +115,12 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
             q = apply_rope(q, cos_m, sin_m)
             k = apply_rope(k, cos_m, sin_m)
             if int8:
-                # Same folds as llama.decode_step: store the token
-                # quantized, fold the per-channel K scale into q so
-                # attention reads int8 codes, fold the V scale into the
-                # output below.  Scales are slot-free, so stage-sharding
-                # them is a plain [L/S, ...] slice.
+                # Same folds as llama.decode_step (shared helpers in
+                # ops/quant.py): store the token quantized, fold the
+                # per-channel K scale into q so attention reads int8
+                # codes, fold the V scale into the output below.  Scales
+                # are slot-free, so stage-sharding them is a plain
+                # [L/S, ...] slice.
                 from scope_tpu.ops import quant
                 ks_m = lax.dynamic_slice(
                     k_scale, (l, rows0, 0, 0), (1, MB, Hkv, D))[0]
@@ -127,9 +128,7 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
                     v_scale, (l, rows0, 0, 0), (1, MB, Hkv, D))[0]
                 k = quant.quantize(k, ks_m)
                 v = quant.quantize(v, vs_m)
-                q = (q.reshape(MB, Hkv, G, D)
-                     * ks_m[:, :, None, :].astype(q.dtype)
-                     ).reshape(MB, Hq, 1, D)
+                q = quant.fold_q_scale(q, ks_m)
             ckl = lax.dynamic_update_slice(ckl, k[None],
                                            (l, rows0, 0, ln_m[0], 0))
             cvl = lax.dynamic_update_slice(cvl, v[None],
@@ -148,9 +147,7 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
             out, probs = _grouped_decode_attention(q, ck_m, cv_m, mask, G,
                                                    softmax_f32=softmax_f32)
             if int8:
-                out = (out.reshape(MB, Hkv, G, D)
-                       * vs_m[:, :, None, :].astype(out.dtype)
-                       ).reshape(MB, Hq, 1, D)
+                out = quant.fold_out_scale(out, vs_m)
             if comp is not None:
                 # SCOPE fire on this stage's layer: same block_map +
                 # contiguous write as the single-device force path
@@ -168,27 +165,15 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
                 # of the microbatch rewrites.
                 gate_m = jnp.ones((MB,), bool)
                 if lazy:
-                    # Tombstone fire (llama.decode_step lazy path): kill
-                    # the scored region, scatter the top-k back alive —
-                    # no gather, no big write-back.  Physical slots are
-                    # reclaimed by pp_compact_lazy.
-                    rr = comp.decoding_recent_size
-                    d_sl = jnp.arange(cap, dtype=jnp.int32)
-                    region = ((d_sl[None, None, :] >= pseg_m[:, None, None])
-                              & (d_sl[None, None, :]
-                                 < (ln_m + 1 - rr)[:, None, None]))
-                    sc = jnp.where(region & al_m, probs, -jnp.inf)
-                    kc = min(caps.keep_cap, cap)
-                    topk_idx = lax.top_k(sc, kc)[1]
-                    new_al = al_m & ~region
-                    jpos = jnp.arange(kc, dtype=jnp.int32)[None, None, :]
-                    live = jpos < nk_m[:, None, None]
-                    idx = jnp.where(live, topk_idx, cap)
-                    bb = jnp.broadcast_to(
-                        jnp.arange(MB)[:, None, None], idx.shape)
-                    hh = jnp.broadcast_to(
-                        jnp.arange(Hkv)[None, :, None], idx.shape)
-                    new_al = new_al.at[bb, hh, idx].set(True, mode="drop")
+                    # Tombstone fire — the SAME helper as the single-
+                    # device path (schedulers.lazy_tombstone_fire), so
+                    # the PP parity contract rides one implementation.
+                    # Physical slots are reclaimed by pp_compact_lazy.
+                    from scope_tpu.compression.schedulers import (
+                        lazy_tombstone_fire)
+                    new_al = lazy_tombstone_fire(
+                        comp, caps, probs, al_m, ln_m + 1, pseg_m, nk_m,
+                        gate_m)
                     al = lax.dynamic_update_slice(al, new_al[None],
                                                   (l, rows0, 0, 0))
                 else:
@@ -252,6 +237,15 @@ def _pp_step_local(spec: ModelSpec, n_stages: int, n_micro: int,
     n_rounds = n_micro + S - 1
     x_buf, logits_buf, ck, cv, alive = lax.fori_loop(
         0, n_rounds, round_body, (x_buf, logits_buf, ck, cv, alive))
+    # Device-side batch-uniformity guard: appends/writes land at row 0's
+    # offsets, so a mixed-length batch would corrupt the cache SILENTLY.
+    # The host check (pp_decode_step._assert_uniform) cannot inspect
+    # device arrays on hot steps without a ~30ms blocking fetch, so the
+    # program itself poisons the logits with NaN when the contract is
+    # violated — loud at the caller's next argmax/finite check instead
+    # of a corrupted cache three steps later.
+    uniform = jnp.all(length == length[0])
+    logits_buf = jnp.where(uniform, logits_buf, jnp.nan)
     if comp is not None and not lazy:
         # All rows shrink to pseg + n_keep + r (fires are batch-uniform
         # and layer-uniform — length is one [B] stream).
