@@ -471,8 +471,14 @@ def run_serving_engine(spec, params, batch, *, prompt_len=2048,
     steps = (timed_steps if timed_steps is not None
              else max(512 if lazy else 128,
                       2 * comp.delta + 2 * chunk))
+    # Median of 3 reps: late in a long bench process a single rep can
+    # degrade (HBM/allocator pressure from earlier legs — observed 8B
+    # rep pair 1538/985 in-bench vs 1486/1498 standalone); the median
+    # rejects one such outlier while staying honest about sustained
+    # rate.  Explicit timed_steps (smoke tests) keeps 2 reps.
+    n_reps = 2 if timed_steps is not None else 3
     rates = []
-    for _rep in range(2):
+    for _rep in range(n_reps):
         n0 = sum(s.dispatched for s in eng.slots)
         t0 = time.perf_counter()
         while sum(s.dispatched for s in eng.slots) - n0 < steps * batch:
@@ -488,7 +494,7 @@ def run_serving_engine(spec, params, batch, *, prompt_len=2048,
             "serving timed window saw no tokens (requests drained "
             "during warmup) — raise max_new relative to the warm "
             "target or lower timed_steps")
-    tps = min(rates)
+    tps = sorted(rates)[len(rates) // 2] if len(rates) >= 3 else min(rates)
     log(f"[serving-engine b{batch}] {tps:.1f} tok/s "
         f"(reps {[f'{r:.0f}' for r in rates]})")
     return tps
@@ -694,6 +700,10 @@ def main():
     # The headline config through the REAL ServingEngine (measured
     # 7068 vs the raw loop's 7215 at b192 — within 2%).
     serving_1b = None
+    # Drop earlier legs' lingering buffers before the engine allocates
+    # its slot pool — late-process HBM pressure degrades timed reps.
+    import gc
+    gc.collect()
     for b_s1 in (192, 160, 128):
         try:
             serving_1b = run_serving_engine(spec, params, b_s1,
@@ -788,6 +798,7 @@ def main():
         # prefill workspace BESIDE the full slot pool (measure_decode
         # tiles a small prefill instead), so the raw-loop's max batch
         # may not fit — ladder down.
+        gc.collect()          # same pre-serving hygiene as the 1B leg
         for b_srv in dict.fromkeys((sb, 48, 32, 24, 16)):
             if b_srv > sb:
                 continue
