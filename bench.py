@@ -789,9 +789,26 @@ def main():
     except Exception as e:
         log(f"8B leg failed entirely: {type(e).__name__}: {e}")
         log(traceback.format_exc(limit=5))
+    b8_prefill = None
     if b8_scope:
         rl_8b = roofline(spec8, params8, sb, b8_scope, 2650,
                          kv_bytes=0.5 if skv == "int4" else 1)
+        # 8B TTFT at the canonical P=2048 operating point (north-star
+        # model; w8 weights — prefill is compute-bound so the weight
+        # format barely matters).
+        try:
+            b8_prefill = _measure_prefill(
+                spec8,
+                CompressionConfig(method="h2o", decoding_metric="jump",
+                                  max_capacity_prompt=2048, window_size=8,
+                                  decoding_window_size=512,
+                                  decoding_recent_size=256, delta=30,
+                                  evict_per_qhead=False),
+                EngineConfig(max_prompt_len=2048, max_new_tokens=7950,
+                             dtype="bfloat16", uniform_lengths=True),
+                params8, 2048)
+        except Exception as e:
+            log(f"8B prefill measure failed: {type(e).__name__}: {e}")
         # 8B through the REAL serving engine (VERDICT r3 #7): admissions
         # + chunked dispatch + pipelined fetches should land within
         # ~10% of the raw loop at the same batch.  The engine needs
@@ -839,6 +856,7 @@ def main():
         "b8_scope_kv": skv,
         "b8_serving_tok_s": b8_serving and round(b8_serving, 2),
         "b8_serving_batch": b8_serving and b_srv,
+        "b8_prefill_2048_ms": b8_prefill and round(b8_prefill * 1e3, 1),
         "b8_hbm_gbps": rl_8b and rl_8b["hbm_gbps"],
         "b8_roofline_pct": rl_8b and rl_8b["roofline_pct"],
         "b8_fullcache_tok_s": b8_full and round(b8_full, 2),
